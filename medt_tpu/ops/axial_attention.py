@@ -1,0 +1,220 @@
+"""Axial attention — the core op family of the framework.
+
+One parameterized module replaces the reference's three near-duplicate classes
+(``AxialAttention`` reference axialnet.py:19-97, ``AxialAttention_dynamic``
+:99-193, ``AxialAttention_wopos`` :195-258) plus the experimental zoo variants
+(``AxialAttention_gated_sig`` / ``AxialAttention_gated_data``,
+reference lib/models/model_codes.py:215-444). Semantics implemented:
+
+  1. qkv 1x1 projection (no bias) + BN over the 2*out_planes channels
+     (stats couple across batch AND the orthogonal spatial axis, matching the
+     reference's BatchNorm1d over the flattened N*W stripe batch).
+  2. split per group: q (gp/2), k (gp/2), v (gp) channels.
+  3. learned relative position table (2*gp, 2*span-1) gathered into
+     per-(query,key) embeddings; split into q/k/v embeddings.
+  4. similarity logits qk, qr, kr; optional scalar gates on qr/kr;
+     stacked BN over the (3, groups) feature layout; summed; softmax over keys.
+  5. outputs sv (attention @ v) and sve (attention @ v-embedding); optional
+     gates; BN over the (groups, gp, 2) feature layout; branches summed.
+  6. optional 2x2 average-pool downsample when stride > 1.
+
+TPU-first design notes: the op works directly on NHWC tensors with einsums
+that lower to batched MXU matmuls — there are no permute/view copies, no
+Python loops, and the stripe batch is just extra leading batch dimensions for
+XLA. The softmax/key axis is the trailing axis, contiguous in lanes.
+
+In the gated variants the reference creates its gates with
+``requires_grad=False`` — i.e. they are *frozen constants* 0.1/0.1/0.1/1.0 in
+the released code (reference axialnet.py:124-127). We default to the same
+frozen behavior and expose ``trainable_gates`` for the trained-gate setting
+described in the paper.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .initializers import normal_by_fan
+from .norms import BatchNorm
+from .pooling import avg_pool_2x
+
+# attention math modes
+MODE_FULL = "full"        # reference AxialAttention: positions, no gates
+MODE_GATED = "gated"      # reference AxialAttention_dynamic: frozen scalar gates
+MODE_WOPOS = "wopos"      # reference AxialAttention_wopos: qk only, no positions
+MODE_GATED_SIG = "gated_sig"    # zoo: sigmoid-squashed gates, f_sv=5.0
+MODE_GATED_DATA = "gated_data"  # zoo: per-sample gates from a GAP->MLP head
+
+_MODES = (MODE_FULL, MODE_GATED, MODE_WOPOS, MODE_GATED_SIG, MODE_GATED_DATA)
+
+
+def relative_logit_index(span: int) -> np.ndarray:
+    """(span, span) gather index into a (2*span-1)-wide relative table.
+
+    ``idx[i, j] = i - j + span - 1`` where i is the query position and j the
+    key position — matches the reference's precomputed ``flatten_index``
+    (reference axialnet.py:43-46).
+    """
+    r = np.arange(span)
+    return r[:, None] - r[None, :] + span - 1
+
+
+class AxialAttention(nn.Module):
+    """Multi-head self-attention along one spatial axis of an NHWC tensor.
+
+    Attributes:
+      axis: "h" attends along image height (stripes batched over width);
+        "w" attends along width. Mirrors the reference's ``width`` flag.
+      span: attention length == spatial extent of the attended axis
+        (the reference's ``kernel_size``).
+      stride: if >1, average-pool the (2D) output by this factor afterwards.
+      mode: one of full/gated/wopos/gated_sig/gated_data (see module docstring).
+      gate_init: (f_qr, f_kr, f_sve, f_sv) initial values for gated modes.
+      trainable_gates: train the gates (the released reference freezes them).
+      dtype: compute dtype for the einsums (params and BN stats stay fp32).
+    """
+
+    in_planes: int
+    out_planes: int
+    span: int
+    groups: int = 8
+    stride: int = 1
+    axis: str = "h"
+    mode: str = MODE_GATED
+    gate_init: Tuple[float, float, float, float] = (0.1, 0.1, 0.1, 1.0)
+    trainable_gates: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    def _gates(self, x_pooled=None):
+        """Return (f_qr, f_kr, f_sve, f_sv) according to the gating mode."""
+        if self.mode == MODE_FULL or self.mode == MODE_WOPOS:
+            return None
+        init = self.gate_init
+        if self.mode == MODE_GATED_DATA:
+            # per-sample gates: GAP -> dense -> relu -> dense -> 4 sigmoids
+            # (zoo variant, reference lib/models/model_codes.py:316-444)
+            h = nn.Dense(self.in_planes // 4, name="gate_fc1")(x_pooled)
+            h = nn.relu(h)
+            h = nn.Dense(4, name="gate_fc2")(h)
+            g = nn.sigmoid(h)  # (N, 4)
+            return tuple(g[:, i][:, None, None, None, None] for i in range(4))
+        if self.trainable_gates:
+            gates = [
+                self.param(name, lambda k, v=v: jnp.asarray(v, jnp.float32))
+                for name, v in zip(("f_qr", "f_kr", "f_sve", "f_sv"), init)
+            ]
+        else:
+            # frozen constants, exactly as released (reference axialnet.py:124-127)
+            gates = [jnp.asarray(v, jnp.float32) for v in init]
+        if self.mode == MODE_GATED_SIG:
+            # zoo variant squashes the learned gates through a sigmoid
+            gates = [nn.sigmoid(g) for g in gates]
+        return tuple(gates)
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        assert self.mode in _MODES, self.mode
+        assert self.out_planes % self.groups == 0
+        gp = self.out_planes // self.groups
+        assert gp % 2 == 0, "group_planes must be even to split q/k"
+        g, span = self.groups, self.span
+        dtype = self.dtype or x.dtype
+
+        data_gates_in = None
+        if self.mode == MODE_GATED_DATA:
+            data_gates_in = jnp.mean(x, axis=(1, 2))  # GAP over H, W
+
+        if self.axis == "w":
+            x = jnp.swapaxes(x, 1, 2)  # attend along axis 1 below
+        n, L, m, _ = x.shape
+        assert L == span, f"span {span} != attended extent {L}"
+
+        # -- qkv projection (1x1 conv == dense over channels) + BN ------------
+        qkv = nn.Dense(
+            self.out_planes * 2,
+            use_bias=False,
+            kernel_init=normal_by_fan(self.in_planes),
+            dtype=dtype,
+            param_dtype=jnp.float32,
+            name="qkv",
+        )(x)
+        qkv = BatchNorm(feature_axes=-1, name="bn_qkv")(
+            qkv, use_running_average=not train
+        )
+        qkv = qkv.reshape(n, L, m, g, 2 * gp)
+        q, k, v = jnp.split(qkv, [gp // 2, gp], axis=-1)
+
+        # -- similarity logits -------------------------------------------------
+        # qk[n,m,g,i,j] = sum_c q[n,i,m,g,c] * k[n,j,m,g,c]
+        qk = jnp.einsum("nimgc,njmgc->nmgij", q, k, preferred_element_type=jnp.float32)
+
+        if self.mode != MODE_WOPOS:
+            relative = self.param(
+                "relative", normal_by_fan(gp), (2 * gp, 2 * span - 1), jnp.float32
+            )
+            idx = relative_logit_index(span)
+            all_emb = relative[:, idx]  # (2gp, span_i, span_j)
+            q_emb, k_emb, v_emb = (
+                all_emb[: gp // 2],
+                all_emb[gp // 2 : gp],
+                all_emb[gp:],
+            )
+            q_emb = q_emb.astype(dtype)
+            k_emb = k_emb.astype(dtype)
+            # qr[n,m,g,i,j] = sum_c q[n,i,m,g,c] * q_emb[c,i,j]
+            qr = jnp.einsum(
+                "nimgc,cij->nmgij", q, q_emb, preferred_element_type=jnp.float32
+            )
+            # kr[n,m,g,i,j] = sum_c k[n,j,m,g,c] * k_emb[c,j,i]
+            kr = jnp.einsum(
+                "njmgc,cji->nmgij", k, k_emb, preferred_element_type=jnp.float32
+            )
+            gates = self._gates(data_gates_in)
+            if gates is not None:
+                f_qr, f_kr, f_sve, f_sv = gates
+                qr = qr * f_qr
+                kr = kr * f_kr
+            # stacked-similarity BN over the (3, groups) feature layout, then sum
+            stacked = jnp.stack([qk, qr, kr], axis=2)  # (n, m, 3, g, i, j)
+            stacked = BatchNorm(feature_axes=(2, 3), name="bn_similarity")(
+                stacked, use_running_average=not train
+            )
+            logits = jnp.sum(stacked, axis=2)  # (n, m, g, i, j)
+        else:
+            gates = None
+            logits = BatchNorm(feature_axes=2, name="bn_similarity")(
+                qk, use_running_average=not train
+            )
+
+        sim = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
+
+        # -- attention outputs -------------------------------------------------
+        # sv[n,i,m,g,c] = sum_j sim[n,m,g,i,j] * v[n,j,m,g,c]
+        sv = jnp.einsum("nmgij,njmgc->nimgc", sim, v, preferred_element_type=jnp.float32)
+        if self.mode != MODE_WOPOS:
+            sve = jnp.einsum(
+                "nmgij,cij->nimgc", sim, v_emb.astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
+            if gates is not None:
+                sv = sv * f_sv
+                sve = sve * f_sve
+            stacked_out = jnp.stack([sv, sve], axis=-1)  # (n, i, m, g, c, 2)
+            stacked_out = BatchNorm(feature_axes=(3, 4, 5), name="bn_output")(
+                stacked_out, use_running_average=not train
+            )
+            out = jnp.sum(stacked_out, axis=-1)  # (n, i, m, g, c)
+        else:
+            out = BatchNorm(feature_axes=(3, 4), name="bn_output")(
+                sv, use_running_average=not train
+            )
+        out = out.reshape(n, L, m, self.out_planes).astype(dtype)
+
+        if self.axis == "w":
+            out = jnp.swapaxes(out, 1, 2)
+        if self.stride > 1:
+            out = avg_pool_2x(out, self.stride)
+        return out
