@@ -1,0 +1,50 @@
+"""Losses.
+
+``log_nll_loss`` reproduces the reference's ``LogNLLLoss`` — which, despite
+its name, is plain mean cross-entropy on raw logits (the log line is commented
+out, reference metrics.py:9-20). Also provides the label-smoothing variants
+from the reference's classification utility belt (reference lib/utils.py:33-55).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import jax
+import optax
+
+
+def log_nll_loss(logits, labels, weight: Optional[jnp.ndarray] = None,
+                 ignore_index: int = -100):
+    """Mean cross-entropy over all pixels; logits NHWC, labels NHW int.
+
+    ``weight``/``ignore_index`` follow torch ``F.cross_entropy`` semantics
+    (weighted mean = sum(w_y * ce) / sum(w_y); ignored pixels drop out).
+    """
+    labels_safe = jnp.where(labels == ignore_index, 0, labels)
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels_safe
+    )
+    valid = (labels != ignore_index).astype(jnp.float32)
+    if weight is not None:
+        w = jnp.asarray(weight, jnp.float32)[labels_safe] * valid
+    else:
+        w = valid
+    return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1e-12)
+
+
+def label_smoothing(logits, labels, eta: float = 0.1):
+    """One-hot targets smoothed to (1-eta) + eta/C (reference lib/utils.py:33-46)."""
+    n_classes = logits.shape[-1]
+    onehot = jax.nn.one_hot(labels, n_classes, dtype=jnp.float32)
+    return onehot * (1.0 - eta) + eta / n_classes
+
+
+def cross_entropy_for_onehot(logits, target):
+    """Mean -sum(target * log_softmax(logits)) (reference lib/utils.py:49-50)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.mean(jnp.sum(-target * logp, axis=-1))
+
+
+def cross_entropy_with_label_smoothing(logits, labels, eta: float = 0.1):
+    return cross_entropy_for_onehot(logits, label_smoothing(logits, labels, eta))

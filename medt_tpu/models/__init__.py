@@ -1,0 +1,112 @@
+"""Model registry.
+
+Factory names mirror the reference CLI surface (`--modelname`,
+reference train.py:95-102) and the factory functions at reference
+axialnet.py:714-728: all use layers [1,2,4,1] at width scale s=0.125.
+Additional registry entries cover the experimental zoo
+(reference lib/models/model_codes.py:2259-2323).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+from .axial_unet import ResAxialAttentionUNet
+from .blocks import AxialBlock, AxialStage
+from .medt import MedTNet, batch_to_space, space_to_batch
+
+MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {}
+
+
+def register_model(name):
+    def wrap(fn):
+        MODEL_REGISTRY[name] = fn
+        return fn
+    return wrap
+
+
+def build_model(name: str, *, img_size: int = 128, imgchan: int = 3,
+                num_classes: int = 2, dtype=None, **kwargs):
+    """Instantiate a model by its reference-CLI name.
+
+    (imgchan is accepted for API parity; flax infers input channels lazily.)
+    """
+    del imgchan  # input channels are inferred at init time from the input
+    if name not in MODEL_REGISTRY:
+        raise KeyError(
+            f"unknown model {name!r}; available: {sorted(MODEL_REGISTRY)}"
+        )
+    return MODEL_REGISTRY[name](
+        img_size=img_size, num_classes=num_classes, dtype=dtype, **kwargs
+    )
+
+
+@register_model("axialunet")
+def axialunet(**kw):
+    """Ungated axial-attention U-Net (reference axialnet.py:714-716)."""
+    return ResAxialAttentionUNet(attention_mode="full", s=0.125, **kw)
+
+
+@register_model("gatedaxialunet")
+def gatedaxialunet(**kw):
+    """Gated axial-attention U-Net (reference 'gated', axialnet.py:718-720)."""
+    return ResAxialAttentionUNet(attention_mode="gated", s=0.125, **kw)
+
+
+@register_model("MedT")
+def medt(**kw):
+    """LoGo net: gated global branch + no-position local branch
+    (reference axialnet.py:722-724)."""
+    return MedTNet(global_mode="gated", local_mode="wopos", s=0.125, **kw)
+
+
+@register_model("logo")
+def logo(**kw):
+    """LoGo training strategy with plain axial blocks in both branches
+    (reference axialnet.py:726-728)."""
+    return MedTNet(global_mode="full", local_mode="full", s=0.125, **kw)
+
+
+# ---- experimental zoo (reference lib/models/model_codes.py) ---------------
+
+@register_model("gated_sig")
+def gated_sig(**kw):
+    """Sigmoid-squashed learned gates (model_codes.py:215-314)."""
+    return ResAxialAttentionUNet(
+        attention_mode="gated_sig", trainable_gates=True, s=0.125, **kw
+    )
+
+
+@register_model("gated_data")
+def gated_data(**kw):
+    """Per-sample data-dependent gates from a GAP->MLP head
+    (model_codes.py:316-444)."""
+    return ResAxialAttentionUNet(attention_mode="gated_data", s=0.125, **kw)
+
+
+@register_model("convnet_ablation")
+def convnet_ablation(**kw):
+    """Attention-disabled pure-conv ablation (AxialBlockmod,
+    model_codes.py:661-716)."""
+    return ResAxialAttentionUNet(attention_mode="full", use_attention=False,
+                                 s=0.125, **kw)
+
+
+@register_model("medt_512")
+def medt_512(**kw):
+    """512px LoGo variant: same 4x4 grid, 128px patches
+    (mix_512, model_codes.py:1894-2096)."""
+    kw.setdefault("img_size", 512)
+    return MedTNet(global_mode="gated", local_mode="wopos", s=0.125, **kw)
+
+
+__all__ = [
+    "AxialBlock",
+    "AxialStage",
+    "MODEL_REGISTRY",
+    "MedTNet",
+    "ResAxialAttentionUNet",
+    "batch_to_space",
+    "build_model",
+    "register_model",
+    "space_to_batch",
+]

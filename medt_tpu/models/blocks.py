@@ -1,0 +1,124 @@
+"""Axial bottleneck blocks.
+
+One block class parameterized by attention mode replaces the reference's three
+near-identical classes (``AxialBlock`` reference axialnet.py:262-302,
+``AxialBlock_dynamic`` :304-344, ``AxialBlock_wopos`` :346-391). Shape flow
+(expansion=2): conv1x1 down to ``width`` -> BN -> ReLU -> height attention ->
+width attention (carries the stride) -> ReLU -> conv1x1 up to ``planes*2`` ->
+BN -> residual add (optionally through a strided 1x1+BN downsample) -> ReLU.
+
+(The reference's wopos block also constructs an extra ``conv1`` layer that its
+forward never uses, axialnet.py:358 — dead weight we do not reproduce.)
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops import AxialAttention, BatchNorm, conv1x1
+
+
+class AxialBlock(nn.Module):
+    """Residual bottleneck around a (height, width) axial-attention pair."""
+
+    expansion = 2
+
+    inplanes: int
+    planes: int
+    span: int
+    stride: int = 1
+    groups: int = 8
+    base_width: int = 64
+    attention_mode: str = "full"   # full | gated | wopos | gated_sig | gated_data
+    trainable_gates: bool = False
+    use_attention: bool = True     # False = pure-conv ablation (zoo AxialBlockmod)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        width = int(self.planes * (self.base_width / 64.0))
+        out_planes = self.planes * self.expansion
+        needs_downsample = self.stride != 1 or self.inplanes != out_planes
+
+        identity = x
+        out = conv1x1(width, name="conv_down", dtype=self.dtype)(x)
+        out = BatchNorm(name="bn1")(out, use_running_average=not train)
+        out = nn.relu(out)
+
+        if self.use_attention:
+            out = AxialAttention(
+                in_planes=width, out_planes=width, span=self.span,
+                groups=self.groups, axis="h", mode=self.attention_mode,
+                trainable_gates=self.trainable_gates, dtype=self.dtype,
+                name="attn_h",
+            )(out, train=train)
+            out = AxialAttention(
+                in_planes=width, out_planes=width, span=self.span,
+                groups=self.groups, axis="w", stride=self.stride,
+                mode=self.attention_mode, trainable_gates=self.trainable_gates,
+                dtype=self.dtype, name="attn_w",
+            )(out, train=train)
+        else:
+            # attention-disabled ablation (zoo AxialBlockmod,
+            # reference lib/models/model_codes.py:661-716): 3x3 conv instead,
+            # strided to keep the downsample schedule identical.
+            from ..ops import conv2d
+            out = conv2d(width, 3, stride=self.stride, use_bias=False,
+                         name="conv_mid", dtype=self.dtype)(out)
+        out = nn.relu(out)
+
+        out = conv1x1(out_planes, name="conv_up", dtype=self.dtype)(out)
+        out = BatchNorm(name="bn2")(out, use_running_average=not train)
+
+        if needs_downsample:
+            identity = conv1x1(out_planes, stride=self.stride,
+                               name="downsample_conv", dtype=self.dtype)(x)
+            identity = BatchNorm(name="downsample_bn")(
+                identity, use_running_average=not train
+            )
+
+        return nn.relu(out + identity)
+
+
+class AxialStage(nn.Module):
+    """A stack of AxialBlocks — the reference's ``_make_layer``
+    (axialnet.py:443-469): first block carries stride + downsample; the span
+    halves after a strided block; later blocks keep inplanes = planes*2.
+    """
+
+    inplanes: int
+    planes: int
+    blocks: int
+    span: int
+    stride: int = 1
+    groups: int = 8
+    base_width: int = 64
+    attention_mode: str = "full"
+    trainable_gates: bool = False
+    use_attention: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        span = self.span
+        inplanes = self.inplanes
+        for i in range(self.blocks):
+            stride = self.stride if i == 0 else 1
+            x = AxialBlock(
+                inplanes=inplanes, planes=self.planes, span=span,
+                stride=stride, groups=self.groups, base_width=self.base_width,
+                attention_mode=self.attention_mode,
+                trainable_gates=self.trainable_gates,
+                use_attention=self.use_attention,
+                dtype=self.dtype, name=f"block{i}",
+            )(x, train=train)
+            inplanes = self.planes * AxialBlock.expansion
+            if i == 0 and self.stride != 1:
+                span = span // 2
+        return x
+
+    @property
+    def out_planes(self):
+        return self.planes * AxialBlock.expansion

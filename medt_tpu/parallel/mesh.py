@@ -1,0 +1,74 @@
+"""Mesh construction and sharding placement helpers."""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .partitioning import partition_specs
+
+AXES = ("data", "seq", "model")
+
+
+def auto_mesh_shape(n_devices: int, tp: Optional[int] = None,
+                    sp: Optional[int] = None) -> Tuple[int, int, int]:
+    """Factor ``n_devices`` into (data, seq, model) axis sizes.
+
+    Defaults favor using every parallelism style when the device count
+    allows: tp=2 and sp=2 when divisible, the rest to data parallel.
+    """
+    if tp is None:
+        tp = 2 if n_devices % 2 == 0 and n_devices >= 4 else 1
+    rem = n_devices // tp
+    if sp is None:
+        sp = 2 if rem % 2 == 0 and rem >= 2 else 1
+    dp = rem // sp
+    assert dp * sp * tp == n_devices, (dp, sp, tp, n_devices)
+    return dp, sp, tp
+
+
+def make_mesh(n_devices: Optional[int] = None, *, dp: Optional[int] = None,
+              sp: Optional[int] = None, tp: Optional[int] = None,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = n_devices or len(devices)
+    if dp is None:
+        dp, sp, tp = auto_mesh_shape(n, tp=tp, sp=sp)
+    grid = np.asarray(devices[:n]).reshape(dp, sp, tp)
+    return Mesh(grid, AXES)
+
+
+def batch_specs() -> dict:
+    """Batch sharding: batch over 'data', image width over 'seq' (NHWC)."""
+    return {"image": P("data", None, "seq", None), "label": P("data", None, "seq")}
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    specs = batch_specs()
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, specs.get(k, P())))
+        for k, v in batch.items()
+    }
+
+
+def shard_state(state, mesh: Mesh):
+    """Place a TrainState on the mesh: TP specs for params/batch_stats,
+    replicated step; the optimizer state is re-created under jit so Adam's
+    moments inherit the param shardings from GSPMD propagation."""
+    param_sh = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), partition_specs(state.params),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    stats_sh = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), partition_specs(state.batch_stats),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    params = jax.device_put(state.params, param_sh)
+    batch_stats = jax.device_put(state.batch_stats, stats_sh)
+    opt_state = jax.jit(state.tx.init)(params)
+    step = jax.device_put(state.step, NamedSharding(mesh, P()))
+    return state.replace(
+        step=step, params=params, batch_stats=batch_stats, opt_state=opt_state
+    )
