@@ -1,0 +1,105 @@
+"""Prefetching batch loader.
+
+Replaces the reference's single-worker ``torch.utils.data.DataLoader``
+(reference train.py:90-91 — note it parses ``--workers`` but never wires it
+in, train.py:31). At TPU throughput the host-side PNG decode is the
+bottleneck (SURVEY.md §7 hard-part #5), so this loader:
+
+* decodes + augments samples in a thread pool (cv2/PIL release the GIL),
+* collates into dense NHWC numpy batches,
+* keeps a bounded queue of batches ready so device steps never wait on IO,
+* is seeded deterministically per (epoch, index) — reproducible regardless
+  of worker scheduling.
+
+When the optional native C++ decoder (``native/``) is built, the dataset's
+decode path uses it transparently.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def collate(samples):
+    """Stack (image, mask, name) samples into a batch dict."""
+    images = np.stack([s[0] for s in samples])
+    masks = np.stack([s[1] for s in samples])
+    names = [s[2] for s in samples]
+    return {"image": images, "label": masks, "name": names}
+
+
+class DataLoader:
+    """Iterable over shuffled, prefetched batches.
+
+    Args:
+      dataset: object with ``__len__`` and ``__getitem__(idx, rng=...)``.
+      batch_size: samples per batch (drop_last=False, like the reference).
+      shuffle: reshuffle each epoch.
+      num_workers: decode threads (0 = synchronous).
+      seed: base seed; per-sample rng = seed + epoch * len + idx.
+      prefetch: max batches queued ahead.
+    """
+
+    def __init__(self, dataset, batch_size: int = 1, shuffle: bool = True,
+                 num_workers: int = 4, seed: int = 3000, prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+
+    def _fetch(self, idx: int) -> tuple:
+        rng = np.random.default_rng(
+            self.seed + self.epoch * len(self.dataset) + idx
+        )
+        try:
+            return self.dataset.__getitem__(idx, rng=rng)
+        except TypeError:
+            return self.dataset[idx]
+
+    def __iter__(self) -> Iterator[dict]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, n, self.batch_size)]
+
+        if self.num_workers <= 0:
+            for b in batches:
+                yield collate([self._fetch(int(i)) for i in b])
+            self.epoch += 1
+            return
+
+        out: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self._fetch, [int(i) for i in b]))
+                    out.put(collate(samples))
+            out.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+        self.epoch += 1

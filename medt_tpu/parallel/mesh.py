@@ -68,6 +68,16 @@ def shard_state(state, mesh: Mesh):
     params = jax.device_put(state.params, param_sh)
     batch_stats = jax.device_put(state.batch_stats, stats_sh)
     opt_state = jax.jit(state.tx.init)(params)
+    # input-independent leaves (e.g. Adam's step count) come out of jit on a
+    # single device; replicate them onto the mesh so the whole state shares
+    # one device set
+    replicated = NamedSharding(mesh, P())
+    opt_state = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, replicated)
+        if getattr(getattr(x, "sharding", None), "num_devices", None) == 1
+        else x,
+        opt_state,
+    )
     step = jax.device_put(state.step, NamedSharding(mesh, P()))
     return state.replace(
         step=step, params=params, batch_stats=batch_stats, opt_state=opt_state

