@@ -47,6 +47,7 @@ class Config:
     pred_mode: str = "threshold"     # reference quirk: logits>=0.5 on channel 1
     # ("argmax" = corrected decision rule)
     # performance
+    use_pallas: str = "yes"          # fused Pallas attention on the eval path
     dtype: str = "float32"           # float32 | bfloat16 compute
     aug: str = "off"
     profile_dir: Optional[str] = None

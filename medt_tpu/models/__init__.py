@@ -25,7 +25,8 @@ def register_model(name):
 
 
 def build_model(name: str, *, img_size: int = 128, imgchan: int = 3,
-                num_classes: int = 2, dtype=None, **kwargs):
+                num_classes: int = 2, dtype=None, use_fused: bool = False,
+                **kwargs):
     """Instantiate a model by its reference-CLI name.
 
     (imgchan is accepted for API parity; flax infers input channels lazily.)
@@ -36,7 +37,8 @@ def build_model(name: str, *, img_size: int = 128, imgchan: int = 3,
             f"unknown model {name!r}; available: {sorted(MODEL_REGISTRY)}"
         )
     return MODEL_REGISTRY[name](
-        img_size=img_size, num_classes=num_classes, dtype=dtype, **kwargs
+        img_size=img_size, num_classes=num_classes, dtype=dtype,
+        use_fused=use_fused, **kwargs
     )
 
 

@@ -65,6 +65,7 @@ class ResAxialAttentionUNet(nn.Module):
     attention_mode: str = "full"     # "full" -> axialunet, "gated" -> gatedaxialunet
     trainable_gates: bool = False
     use_attention: bool = True
+    use_fused: bool = False          # fused Pallas attention on the eval path
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -88,6 +89,7 @@ class ResAxialAttentionUNet(nn.Module):
                 base_width=self.base_width, attention_mode=self.attention_mode,
                 trainable_gates=self.trainable_gates,
                 use_attention=self.use_attention,
+                use_fused=self.use_fused,
                 dtype=self.dtype, name=f"layer{i + 1}",
             )
             x = stage(x, train=train)

@@ -34,6 +34,7 @@ class AxialBlock(nn.Module):
     attention_mode: str = "full"   # full | gated | wopos | gated_sig | gated_data
     trainable_gates: bool = False
     use_attention: bool = True     # False = pure-conv ablation (zoo AxialBlockmod)
+    use_fused: bool = False        # fused Pallas kernel on the eval path
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -51,14 +52,14 @@ class AxialBlock(nn.Module):
             out = AxialAttention(
                 in_planes=width, out_planes=width, span=self.span,
                 groups=self.groups, axis="h", mode=self.attention_mode,
-                trainable_gates=self.trainable_gates, dtype=self.dtype,
-                name="attn_h",
+                trainable_gates=self.trainable_gates, use_fused=self.use_fused,
+                dtype=self.dtype, name="attn_h",
             )(out, train=train)
             out = AxialAttention(
                 in_planes=width, out_planes=width, span=self.span,
                 groups=self.groups, axis="w", stride=self.stride,
                 mode=self.attention_mode, trainable_gates=self.trainable_gates,
-                dtype=self.dtype, name="attn_w",
+                use_fused=self.use_fused, dtype=self.dtype, name="attn_w",
             )(out, train=train)
         else:
             # attention-disabled ablation (zoo AxialBlockmod,
@@ -98,6 +99,7 @@ class AxialStage(nn.Module):
     attention_mode: str = "full"
     trainable_gates: bool = False
     use_attention: bool = True
+    use_fused: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -112,6 +114,7 @@ class AxialStage(nn.Module):
                 attention_mode=self.attention_mode,
                 trainable_gates=self.trainable_gates,
                 use_attention=self.use_attention,
+                use_fused=self.use_fused,
                 dtype=self.dtype, name=f"block{i}",
             )(x, train=train)
             inplanes = self.planes * AxialBlock.expansion

@@ -74,6 +74,7 @@ class MedTNet(nn.Module):
     global_mode: str = "gated"
     local_mode: str = "wopos"
     trainable_gates: bool = False
+    use_fused: bool = False          # fused Pallas attention on the eval path
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -89,7 +90,8 @@ class MedTNet(nn.Module):
             inplanes=int(64 * s), planes=stage_planes[0], blocks=self.layers[0],
             span=self.img_size // 2, groups=self.groups,
             base_width=self.base_width, attention_mode=self.global_mode,
-            trainable_gates=self.trainable_gates, dtype=self.dtype, name="layer1",
+            trainable_gates=self.trainable_gates, use_fused=self.use_fused,
+            dtype=self.dtype, name="layer1",
         )
         g1 = stage1(g, train=train)
         stage2 = AxialStage(
@@ -97,7 +99,8 @@ class MedTNet(nn.Module):
             blocks=self.layers[1], span=self.img_size // 2, stride=2,
             groups=self.groups, base_width=self.base_width,
             attention_mode=self.global_mode,
-            trainable_gates=self.trainable_gates, dtype=self.dtype, name="layer2",
+            trainable_gates=self.trainable_gates, use_fused=self.use_fused,
+            dtype=self.dtype, name="layer2",
         )
         g2 = stage2(g1, train=train)
 
@@ -125,6 +128,7 @@ class MedTNet(nn.Module):
                 span=spans[i], stride=strides[i], groups=self.groups,
                 base_width=self.base_width, attention_mode=self.local_mode,
                 trainable_gates=self.trainable_gates,
+                use_fused=self.use_fused,
                 dtype=self.dtype, name=f"layer{i + 1}_p",
             )
             p = stage(p, train=train)

@@ -19,9 +19,12 @@ reference lib/models/model_codes.py:215-444). Semantics implemented:
   6. optional 2x2 average-pool downsample when stride > 1.
 
 TPU-first design notes: the op works directly on NHWC tensors with einsums
-that lower to batched MXU matmuls — there are no permute/view copies, no
-Python loops, and the stripe batch is just extra leading batch dimensions for
-XLA. The softmax/key axis is the trailing axis, contiguous in lanes.
+that lower to batched MXU matmuls — no permute/view copies, no Python loops.
+In eval mode, when ``use_fused`` is set, the whole post-qkv attention core
+runs as a single fused Pallas kernel (see ops/pallas_axial.py) with the BN
+affines and gates folded in; the jnp path remains the train-mode and
+reference-golden path. The attention BNs are module-level parameters (not
+submodules) precisely so the fused path can fold them.
 
 In the gated variants the reference creates its gates with
 ``requires_grad=False`` — i.e. they are *frozen constants* 0.1/0.1/0.1/1.0 in
@@ -38,7 +41,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .initializers import normal_by_fan
-from .norms import BatchNorm
+from .norms import batch_norm_eval, batch_norm_train
 from .pooling import avg_pool_2x
 
 # attention math modes
@@ -74,6 +77,8 @@ class AxialAttention(nn.Module):
       mode: one of full/gated/wopos/gated_sig/gated_data (see module docstring).
       gate_init: (f_qr, f_kr, f_sve, f_sv) initial values for gated modes.
       trainable_gates: train the gates (the released reference freezes them).
+      use_fused: run the fused Pallas kernel in eval mode (full/gated/wopos
+        with frozen gates).
       dtype: compute dtype for the einsums (params and BN stats stay fp32).
     """
 
@@ -86,17 +91,43 @@ class AxialAttention(nn.Module):
     mode: str = MODE_GATED
     gate_init: Tuple[float, float, float, float] = (0.1, 0.1, 0.1, 1.0)
     trainable_gates: bool = False
+    use_fused: bool = False
     dtype: Optional[jnp.dtype] = None
+
+    # ---- parameter/state helpers -----------------------------------------
+
+    def _bn_vars(self, name: str, shape):
+        scale = self.param(f"{name}_scale", nn.initializers.ones, shape,
+                           jnp.float32)
+        bias = self.param(f"{name}_bias", nn.initializers.zeros, shape,
+                          jnp.float32)
+        mean = self.variable("batch_stats", f"{name}_mean",
+                             lambda: jnp.zeros(shape, jnp.float32))
+        var = self.variable("batch_stats", f"{name}_var",
+                            lambda: jnp.ones(shape, jnp.float32))
+        return scale, bias, mean, var
+
+    def _bn(self, name: str, shape, x, feature_axes, train: bool,
+            momentum: float = 0.1):
+        scale, bias, mean, var = self._bn_vars(name, shape)
+        if train:
+            y, m, v = batch_norm_train(x, scale, bias, feature_axes)
+            if not self.is_initializing():
+                mean.value = (1 - momentum) * mean.value + momentum * m
+                var.value = (1 - momentum) * var.value + momentum * v
+            return y
+        return batch_norm_eval(x, scale, bias, mean.value, var.value,
+                               feature_axes)
 
     def _gates(self, x_pooled=None):
         """Return (f_qr, f_kr, f_sve, f_sv) according to the gating mode."""
-        if self.mode == MODE_FULL or self.mode == MODE_WOPOS:
+        if self.mode in (MODE_FULL, MODE_WOPOS):
             return None
         init = self.gate_init
         if self.mode == MODE_GATED_DATA:
             # per-sample gates: GAP -> dense -> relu -> dense -> 4 sigmoids
             # (zoo variant, reference lib/models/model_codes.py:316-444)
-            h = nn.Dense(self.in_planes // 4, name="gate_fc1")(x_pooled)
+            h = nn.Dense(max(self.in_planes // 4, 4), name="gate_fc1")(x_pooled)
             h = nn.relu(h)
             h = nn.Dense(4, name="gate_fc2")(h)
             g = nn.sigmoid(h)  # (N, 4)
@@ -113,6 +144,8 @@ class AxialAttention(nn.Module):
             # zoo variant squashes the learned gates through a sigmoid
             gates = [nn.sigmoid(g) for g in gates]
         return tuple(gates)
+
+    # ---- forward -----------------------------------------------------------
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -141,37 +174,93 @@ class AxialAttention(nn.Module):
             param_dtype=jnp.float32,
             name="qkv",
         )(x)
-        qkv = BatchNorm(feature_axes=-1, name="bn_qkv")(
-            qkv, use_running_average=not train
-        )
+        qkv = self._bn("bn_qkv", (self.out_planes * 2,), qkv, -1, train)
         qkv = qkv.reshape(n, L, m, g, 2 * gp)
+
+        # similarity/output BN parameter shapes per mode
+        if self.mode == MODE_WOPOS:
+            sim_shape, out_shape_ = (g,), (g, gp)
+        else:
+            sim_shape, out_shape_ = (3, g), (g, gp, 2)
+        sim_scale, sim_bias, sim_mean, sim_var = self._bn_vars(
+            "bn_similarity", sim_shape)
+        out_scale, out_bias, out_mean, out_var = self._bn_vars(
+            "bn_output", out_shape_)
+
+        fused_ok = (
+            self.use_fused and not train and not self.is_initializing()
+            and self.mode in (MODE_FULL, MODE_GATED, MODE_WOPOS)
+        )
+        if fused_ok:
+            from .pallas_axial import fused_eval_attention
+
+            relative = None
+            if self.mode != MODE_WOPOS:
+                relative = self.param(
+                    "relative", normal_by_fan(gp), (2 * gp, 2 * span - 1),
+                    jnp.float32,
+                )
+            stripes = qkv.transpose(0, 2, 1, 3, 4).reshape(n * m, L, g, 2 * gp)
+            out = fused_eval_attention(
+                stripes.astype(jnp.float32), relative,
+                sim_scale, sim_bias, sim_mean.value, sim_var.value,
+                out_scale, out_bias, out_mean.value, out_var.value,
+                gp=gp, span=span, mode=self.mode, gates=self.gate_init,
+            )  # (n*m, L, g, gp)
+            out = out.reshape(n, m, L, self.out_planes).transpose(0, 2, 1, 3)
+            out = out.astype(dtype)
+        else:
+            out = self._jnp_attention(
+                qkv, g, gp, span, train, data_gates_in,
+                (sim_scale, sim_bias, sim_mean, sim_var),
+                (out_scale, out_bias, out_mean, out_var),
+                dtype,
+            )
+
+        if self.axis == "w":
+            out = jnp.swapaxes(out, 1, 2)
+        if self.stride > 1:
+            out = avg_pool_2x(out, self.stride)
+        return out
+
+    def _bn_apply(self, bn_vars, x, feature_axes, train, momentum=0.1):
+        scale, bias, mean, var = bn_vars
+        if train:
+            y, m, v = batch_norm_train(x, scale, bias, feature_axes)
+            if not self.is_initializing():
+                mean.value = (1 - momentum) * mean.value + momentum * m
+                var.value = (1 - momentum) * var.value + momentum * v
+            return y
+        return batch_norm_eval(x, scale, bias, mean.value, var.value,
+                               feature_axes)
+
+    def _jnp_attention(self, qkv, g, gp, span, train, data_gates_in,
+                       sim_bn, out_bn, dtype):
+        n, L, m = qkv.shape[0], qkv.shape[1], qkv.shape[2]
         q, k, v = jnp.split(qkv, [gp // 2, gp], axis=-1)
 
-        # -- similarity logits -------------------------------------------------
         # qk[n,m,g,i,j] = sum_c q[n,i,m,g,c] * k[n,j,m,g,c]
-        qk = jnp.einsum("nimgc,njmgc->nmgij", q, k, preferred_element_type=jnp.float32)
+        qk = jnp.einsum("nimgc,njmgc->nmgij", q, k,
+                        preferred_element_type=jnp.float32)
 
         if self.mode != MODE_WOPOS:
             relative = self.param(
-                "relative", normal_by_fan(gp), (2 * gp, 2 * span - 1), jnp.float32
+                "relative", normal_by_fan(gp), (2 * gp, 2 * span - 1),
+                jnp.float32,
             )
             idx = relative_logit_index(span)
             all_emb = relative[:, idx]  # (2gp, span_i, span_j)
             q_emb, k_emb, v_emb = (
-                all_emb[: gp // 2],
-                all_emb[gp // 2 : gp],
+                all_emb[: gp // 2].astype(dtype),
+                all_emb[gp // 2: gp].astype(dtype),
                 all_emb[gp:],
             )
-            q_emb = q_emb.astype(dtype)
-            k_emb = k_emb.astype(dtype)
             # qr[n,m,g,i,j] = sum_c q[n,i,m,g,c] * q_emb[c,i,j]
-            qr = jnp.einsum(
-                "nimgc,cij->nmgij", q, q_emb, preferred_element_type=jnp.float32
-            )
+            qr = jnp.einsum("nimgc,cij->nmgij", q, q_emb,
+                            preferred_element_type=jnp.float32)
             # kr[n,m,g,i,j] = sum_c k[n,j,m,g,c] * k_emb[c,j,i]
-            kr = jnp.einsum(
-                "njmgc,cji->nmgij", k, k_emb, preferred_element_type=jnp.float32
-            )
+            kr = jnp.einsum("njmgc,cji->nmgij", k, k_emb,
+                            preferred_element_type=jnp.float32)
             gates = self._gates(data_gates_in)
             if gates is not None:
                 f_qr, f_kr, f_sve, f_sv = gates
@@ -179,42 +268,26 @@ class AxialAttention(nn.Module):
                 kr = kr * f_kr
             # stacked-similarity BN over the (3, groups) feature layout, then sum
             stacked = jnp.stack([qk, qr, kr], axis=2)  # (n, m, 3, g, i, j)
-            stacked = BatchNorm(feature_axes=(2, 3), name="bn_similarity")(
-                stacked, use_running_average=not train
-            )
+            stacked = self._bn_apply(sim_bn, stacked, (2, 3), train)
             logits = jnp.sum(stacked, axis=2)  # (n, m, g, i, j)
         else:
             gates = None
-            logits = BatchNorm(feature_axes=2, name="bn_similarity")(
-                qk, use_running_average=not train
-            )
+            logits = self._bn_apply(sim_bn, qk, 2, train)
 
         sim = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
 
-        # -- attention outputs -------------------------------------------------
         # sv[n,i,m,g,c] = sum_j sim[n,m,g,i,j] * v[n,j,m,g,c]
-        sv = jnp.einsum("nmgij,njmgc->nimgc", sim, v, preferred_element_type=jnp.float32)
+        sv = jnp.einsum("nmgij,njmgc->nimgc", sim, v,
+                        preferred_element_type=jnp.float32)
         if self.mode != MODE_WOPOS:
-            sve = jnp.einsum(
-                "nmgij,cij->nimgc", sim, v_emb.astype(dtype),
-                preferred_element_type=jnp.float32,
-            )
+            sve = jnp.einsum("nmgij,cij->nimgc", sim, v_emb.astype(dtype),
+                             preferred_element_type=jnp.float32)
             if gates is not None:
                 sv = sv * f_sv
                 sve = sve * f_sve
             stacked_out = jnp.stack([sv, sve], axis=-1)  # (n, i, m, g, c, 2)
-            stacked_out = BatchNorm(feature_axes=(3, 4, 5), name="bn_output")(
-                stacked_out, use_running_average=not train
-            )
+            stacked_out = self._bn_apply(out_bn, stacked_out, (3, 4, 5), train)
             out = jnp.sum(stacked_out, axis=-1)  # (n, i, m, g, c)
         else:
-            out = BatchNorm(feature_axes=(3, 4), name="bn_output")(
-                sv, use_running_average=not train
-            )
-        out = out.reshape(n, L, m, self.out_planes).astype(dtype)
-
-        if self.axis == "w":
-            out = jnp.swapaxes(out, 1, 2)
-        if self.stride > 1:
-            out = avg_pool_2x(out, self.stride)
-        return out
+            out = self._bn_apply(out_bn, sv, (3, 4), train)
+        return out.reshape(n, L, m, self.out_planes).astype(dtype)

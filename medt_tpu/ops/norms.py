@@ -36,6 +36,47 @@ def _canonical_axes(rank: int, axes: Axes) -> Tuple[int, ...]:
     return tuple(sorted(a % rank for a in axes))
 
 
+def _bshape(x, feature_axes):
+    shape = [1] * x.ndim
+    for a in feature_axes:
+        shape[a] = x.shape[a]
+    return shape
+
+
+def batch_norm_train(x, scale, bias, feature_axes: Axes, epsilon: float = 1e-5):
+    """Functional train-mode BN (torch semantics).
+
+    Returns (y, batch_mean, batch_var_unbiased) — the caller owns the
+    running-stat update. Statistics accumulate in float32.
+    """
+    feature_axes = _canonical_axes(x.ndim, feature_axes)
+    reduction_axes = tuple(a for a in range(x.ndim) if a not in feature_axes)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=reduction_axes)
+    var = jnp.mean(jnp.square(xf), axis=reduction_axes) - jnp.square(mean)
+    var = jnp.maximum(var, 0.0)
+    shape = _bshape(x, feature_axes)
+    inv = lax.rsqrt(var.reshape(shape) + epsilon)
+    y = (xf - mean.reshape(shape)) * inv
+    y = y * scale.astype(jnp.float32).reshape(shape) \
+        + bias.astype(jnp.float32).reshape(shape)
+    n = float(np.prod([x.shape[a] for a in reduction_axes]))
+    var_unbiased = var * (n / max(n - 1.0, 1.0))
+    return y.astype(x.dtype), mean, var_unbiased
+
+
+def batch_norm_eval(x, scale, bias, mean, var, feature_axes: Axes,
+                    epsilon: float = 1e-5):
+    """Functional eval-mode BN using running statistics."""
+    feature_axes = _canonical_axes(x.ndim, feature_axes)
+    shape = _bshape(x, feature_axes)
+    inv = lax.rsqrt(var.astype(jnp.float32).reshape(shape) + epsilon)
+    y = (x.astype(jnp.float32) - mean.astype(jnp.float32).reshape(shape)) * inv
+    y = y * scale.astype(jnp.float32).reshape(shape) \
+        + bias.astype(jnp.float32).reshape(shape)
+    return y.astype(x.dtype)
+
+
 class BatchNorm(nn.Module):
     """Torch-semantics batch norm over all axes except ``feature_axes``.
 
@@ -73,28 +114,14 @@ class BatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, feature_shape, self.param_dtype)
 
         if use_running_average:
-            mean, var = ra_mean.value, ra_var.value
+            y = batch_norm_eval(x, scale, bias, ra_mean.value, ra_var.value,
+                                feature_axes, self.epsilon)
         else:
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=reduction_axes)
-            # biased variance for normalization (torch behavior)
-            var = jnp.mean(jnp.square(xf), axis=reduction_axes) - jnp.square(mean)
-            var = jnp.maximum(var, 0.0)
+            y, mean, var_unbiased = batch_norm_train(
+                x, scale, bias, feature_axes, self.epsilon
+            )
             if not self.is_initializing():
-                n = float(np.prod([x.shape[a] for a in reduction_axes]))
-                unbiased = var * (n / max(n - 1.0, 1.0))
                 m = self.momentum
                 ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
-                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
-
-        # broadcast feature-shaped stats across reduction axes
-        bshape = [1] * x.ndim
-        for a in feature_axes:
-            bshape[a] = x.shape[a]
-        mean = mean.reshape(bshape)
-        inv = lax.rsqrt(var.reshape(bshape) + self.epsilon)
-        scale_b = scale.astype(jnp.float32).reshape(bshape)
-        bias_b = bias.astype(jnp.float32).reshape(bshape)
-
-        y = (x.astype(jnp.float32) - mean) * inv * scale_b + bias_b
+                ra_var.value = (1.0 - m) * ra_var.value + m * var_unbiased
         return y.astype(self.dtype or x.dtype)

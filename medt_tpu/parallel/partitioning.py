@@ -25,11 +25,11 @@ from jax.sharding import PartitionSpec as P
 def _spec_for(path: str, ndim: int) -> P:
     if "/qkv/kernel" in path:
         return P(None, "model")
-    if "/bn_qkv/" in path:
+    if "/bn_qkv_" in path:
         return P("model")
-    if "/bn_similarity/" in path:
+    if "/bn_similarity_" in path:
         return P(*([None] * (ndim - 1) + ["model"])) if ndim >= 2 else P("model")
-    if "/bn_output/" in path:
+    if "/bn_output_" in path:
         return P(*(["model"] + [None] * (ndim - 1)))
     return P()  # replicated
 

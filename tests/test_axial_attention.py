@@ -11,12 +11,12 @@ from np_golden import axial_attention_golden
 def _flatten_params(params, mode):
     out = {
         "qkv_kernel": np.asarray(params["qkv"]["kernel"]),
-        "bn_qkv_scale": np.asarray(params["bn_qkv"]["scale"]),
-        "bn_qkv_bias": np.asarray(params["bn_qkv"]["bias"]),
-        "bn_similarity_scale": np.asarray(params["bn_similarity"]["scale"]),
-        "bn_similarity_bias": np.asarray(params["bn_similarity"]["bias"]),
-        "bn_output_scale": np.asarray(params["bn_output"]["scale"]),
-        "bn_output_bias": np.asarray(params["bn_output"]["bias"]),
+        "bn_qkv_scale": np.asarray(params["bn_qkv_scale"]),
+        "bn_qkv_bias": np.asarray(params["bn_qkv_bias"]),
+        "bn_similarity_scale": np.asarray(params["bn_similarity_scale"]),
+        "bn_similarity_bias": np.asarray(params["bn_similarity_bias"]),
+        "bn_output_scale": np.asarray(params["bn_output_scale"]),
+        "bn_output_bias": np.asarray(params["bn_output_bias"]),
     }
     if mode != "wopos":
         out["relative"] = np.asarray(params["relative"])
@@ -29,13 +29,11 @@ def _randomize_bn(params, rng):
         for k, v in p.items():
             if isinstance(v, dict):
                 walk(v)
-            elif k == "scale":
+            elif k.endswith("_scale") or k == "scale":
                 p[k] = jnp.asarray(rng.uniform(0.5, 1.5, v.shape).astype(np.float32))
-            elif k == "bias":
+            elif k.endswith("_bias") or k == "bias":
                 p[k] = jnp.asarray(rng.normal(0, 0.1, v.shape).astype(np.float32))
     params = jax.tree_util.tree_map(lambda x: x, params)  # copy
-    import flax
-    params = flax.core.unfreeze(params) if hasattr(flax.core, "unfreeze") else params
     walk(params)
     return params
 
