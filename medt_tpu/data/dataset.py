@@ -22,22 +22,32 @@ from typing import Callable, List, Optional
 
 import numpy as np
 
-try:  # pragma: no cover - environment dependent
-    import cv2
+def _imread_fallback(path: str, gray: bool) -> np.ndarray:
+    try:  # pragma: no cover - environment dependent
+        import cv2
 
-    def _imread(path: str, gray: bool) -> np.ndarray:
         img = cv2.imread(path, 0 if gray else 1)
         if img is None:
             raise FileNotFoundError(path)
         return img
-except Exception:  # pragma: no cover
-    from PIL import Image
+    except ImportError:  # pragma: no cover
+        from PIL import Image
 
-    def _imread(path: str, gray: bool) -> np.ndarray:
-        img = Image.open(path)
-        img = img.convert("L" if gray else "RGB")
+        img = Image.open(path).convert("L" if gray else "RGB")
         arr = np.asarray(img)
         return arr if gray else arr[..., ::-1]  # match cv2's BGR
+
+
+def _imread(path: str, gray: bool) -> np.ndarray:
+    """Prefer the native C++ decoder (bit-exact with cv2) when built."""
+    from . import native
+
+    if path.lower().endswith(".png") and native.available():
+        try:
+            return native.decode_image(path, gray=gray)
+        except IOError:
+            pass
+    return _imread_fallback(path, gray)
 
 
 def _ensure_hwc(img: np.ndarray) -> np.ndarray:

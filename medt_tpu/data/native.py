@@ -1,0 +1,89 @@
+"""ctypes bindings for the native data-plane (native/medt_io.cpp).
+
+Loads ``libmedt_io.so`` if built (``make -C native``); everything degrades
+gracefully to the cv2/PIL path when the library is absent. No pybind11 —
+plain C ABI through ctypes.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional
+
+import numpy as np
+
+_LIB_PATHS = [
+    os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                 "libmedt_io.so"),
+    "libmedt_io.so",
+]
+
+_lib = None
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    for path in _LIB_PATHS:
+        try:
+            lib = ctypes.CDLL(os.path.abspath(path)
+                              if os.path.sep in path else path)
+            lib.medt_decode_image.restype = ctypes.c_int
+            lib.medt_decode_batch.restype = ctypes.c_int
+            lib.medt_io_version.restype = ctypes.c_int
+            _lib = lib
+            return lib
+        except OSError:
+            continue
+    return None
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def decode_image(path: str, gray: bool = False,
+                 max_hw: int = 4096) -> np.ndarray:
+    """Decode one PNG natively. Returns HWC uint8 (BGR for color)."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("libmedt_io.so not built (run: make -C native)")
+    c = 1 if gray else 3
+    buf = np.empty((max_hw, max_hw, c), np.uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    cc = ctypes.c_int()
+    rc = lib.medt_decode_image(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        max_hw, max_hw, c, ctypes.byref(h), ctypes.byref(w), ctypes.byref(cc),
+    )
+    if rc != 0:
+        raise IOError(f"native decode failed ({rc}): {path}")
+    # rows are written densely packed at the image's own width
+    img = buf.ravel()[: h.value * w.value * c].reshape(h.value, w.value, c).copy()
+    return img[..., 0] if gray else img
+
+
+def decode_batch(paths: List[str], height: int, width: int,
+                 gray: bool = False, binarize_thresh: int = -1,
+                 ge_semantics: bool = False,
+                 threads: int = 4) -> np.ndarray:
+    """Decode same-sized PNGs into one (n, H, W, C) uint8 batch, threaded.
+
+    ``binarize_thresh >= 0`` fuses the reference's mask binarization into the
+    decode (>thresh by default; >=thresh when ``ge_semantics``)."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("libmedt_io.so not built (run: make -C native)")
+    c = 1 if gray else 3
+    n = len(paths)
+    out = np.empty((n, height, width, c), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    failures = lib.medt_decode_batch(
+        arr, n, height, width, c, binarize_thresh, int(ge_semantics),
+        threads, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if failures:
+        raise IOError(f"native batch decode: {failures}/{n} images failed")
+    return out

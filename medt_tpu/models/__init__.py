@@ -101,6 +101,47 @@ def medt_512(**kw):
     return MedTNet(global_mode="gated", local_mode="wopos", s=0.125, **kw)
 
 
+@register_model("logo_512")
+def logo_512(**kw):
+    """512px logo (mix_net_512, model_codes.py:2306-2308)."""
+    kw.setdefault("img_size", 512)
+    return MedTNet(global_mode="full", local_mode="full", s=0.125, **kw)
+
+
+@register_model("axialunet_wopos")
+def axialunet_wopos(**kw):
+    """Position-free U-Net (resxialunet_wopos, model_codes.py:2287-2289)."""
+    return ResAxialAttentionUNet(attention_mode="wopos", s=0.125, **kw)
+
+
+@register_model("unetplusplus")
+def unetplusplus(**kw):
+    """Single-conv stem + softmax head + deep supervision
+    (unetplus, model_codes.py:1091-1227, factory :2295-2297)."""
+    return ResAxialAttentionUNet(
+        attention_mode="full", use_attention=False, stem_mode="single",
+        final_softmax=True, deep_supervision=True, s=0.125, **kw
+    )
+
+
+@register_model("shallow")
+def shallow(**kw):
+    """2-stage encoder/decoder (ResAxialAttentionUNetshallow,
+    model_codes.py:2097-2222, factory resxialunet128s_shallow :2320-2322)."""
+    return ResAxialAttentionUNet(
+        attention_mode="full", use_attention=False, num_stages=2, s=0.125, **kw
+    )
+
+
+@register_model("autoencoder")
+def autoencoder(img_size=128, num_classes=2, dtype=None, use_fused=False, **kw):
+    """Conv autoencoder (model_codes.py:2224-2256)."""
+    from .classifiers import ConvAutoencoder
+
+    del img_size, num_classes, use_fused
+    return ConvAutoencoder(dtype=dtype, **kw)
+
+
 __all__ = [
     "AxialBlock",
     "AxialStage",

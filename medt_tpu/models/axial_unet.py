@@ -66,6 +66,10 @@ class ResAxialAttentionUNet(nn.Module):
     trainable_gates: bool = False
     use_attention: bool = True
     use_fused: bool = False          # fused Pallas attention on the eval path
+    stem_mode: str = "triple"        # "single" = zoo unetplus stem (one 7x7 conv)
+    final_softmax: bool = False      # zoo unetplus applies softmax at the head
+    num_stages: int = 4              # 2 = zoo shallow variant (model_codes.py:2097)
+    deep_supervision: bool = False   # aux logits per decoder stage (unetplus heads)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -79,7 +83,19 @@ class ResAxialAttentionUNet(nn.Module):
         ]
         stage_strides = [1, 2, 2, 2]
 
-        x = ConvStem(inplanes=inplanes, dtype=self.dtype, name="stem")(x, train=train)
+        if self.stem_mode == "triple":
+            x = ConvStem(inplanes=inplanes, dtype=self.dtype, name="stem")(
+                x, train=train)
+        else:
+            # zoo unetplus stem: one 7x7/s2 conv (model_codes.py:1112-1115)
+            x = conv2d(inplanes, 7, stride=2, use_bias=False, name="stem_conv",
+                       dtype=self.dtype)(x)
+            x = BatchNorm(name="stem_bn")(x, use_running_average=not train)
+            x = nn.relu(x)
+
+        if self.num_stages == 2:
+            return self._shallow_tail(x, inplanes, stage_planes, stage_spans,
+                                      train)
 
         skips = []
         for i in range(4):
@@ -110,4 +126,46 @@ class ResAxialAttentionUNet(nn.Module):
         logits = conv2d(self.num_classes, 1, padding=0, use_bias=True,
                         in_features=int(128 * s), name="adjust",
                         dtype=self.dtype)(nn.relu(d))
+        if self.deep_supervision:
+            # functional deep-supervision heads (the reference's unetplus
+            # declares inter* heads its forward never calls,
+            # model_codes.py:1134-1180 — made real here)
+            aux = conv2d(self.num_classes, 1, padding=0, use_bias=True,
+                         in_features=int(256 * s), name="aux_head",
+                         dtype=self.dtype)(skips[0])
+            if self.final_softmax:
+                return nn.softmax(logits, axis=-1), nn.softmax(aux, axis=-1)
+            return logits, aux
+        if self.final_softmax:
+            return nn.softmax(logits, axis=-1)
         return logits
+
+    def _shallow_tail(self, x, inplanes, stage_planes, stage_spans, train):
+        """2-stage encoder + 2-stage decoder (zoo ResAxialAttentionUNetshallow,
+        reference model_codes.py:2097-2222)."""
+        s = self.s
+        stage1 = AxialStage(
+            inplanes=inplanes, planes=stage_planes[0], blocks=self.layers[0],
+            span=stage_spans[0], groups=self.groups,
+            base_width=self.base_width, attention_mode=self.attention_mode,
+            trainable_gates=self.trainable_gates,
+            use_attention=self.use_attention, use_fused=self.use_fused,
+            dtype=self.dtype, name="layer1",
+        )
+        x1 = stage1(x, train=train)
+        stage2 = AxialStage(
+            inplanes=stage1.out_planes, planes=stage_planes[1],
+            blocks=self.layers[1], span=stage_spans[1], stride=2,
+            groups=self.groups, base_width=self.base_width,
+            attention_mode=self.attention_mode,
+            trainable_gates=self.trainable_gates,
+            use_attention=self.use_attention, use_fused=self.use_fused,
+            dtype=self.dtype, name="layer2",
+        )
+        x2 = stage2(x1, train=train)
+        d = _up_block(x2, int(256 * s), int(512 * s), "decoder4", self.dtype) + x1
+        d = _up_block(d, int(128 * s), int(256 * s), "decoder5", self.dtype)
+        logits = conv2d(self.num_classes, 1, padding=0, use_bias=True,
+                        in_features=int(128 * s), name="adjust",
+                        dtype=self.dtype)(nn.relu(d))
+        return nn.softmax(logits, axis=-1) if self.final_softmax else logits

@@ -24,6 +24,7 @@ def conv2d(
     name: Optional[str] = None,
     in_features: Optional[int] = None,
     dtype=None,
+    dilation: int = 1,
 ):
     """torch-style Conv2d: explicit symmetric padding, torch default init.
 
@@ -34,7 +35,7 @@ def conv2d(
     bound by the weight's fan-in).
     """
     if padding is None:
-        padding = kernel_size // 2
+        padding = (kernel_size // 2) * dilation
     bias_init = nn.initializers.zeros
     if use_bias:
         assert in_features is not None, "bias init needs fan_in; pass in_features"
@@ -44,6 +45,7 @@ def conv2d(
         kernel_size=(kernel_size, kernel_size),
         strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
+        kernel_dilation=(dilation, dilation),
         use_bias=use_bias,
         kernel_init=torch_conv_kernel_init,
         bias_init=bias_init,

@@ -43,7 +43,9 @@ def init_state(model, tx, input_shape, rng=None):
     """Initialize params/batch_stats for ``model`` and wrap in a TrainState."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     x = jnp.zeros(input_shape, jnp.float32)
-    variables = model.init(rng, x, train=False)
+    # jit the init: eager per-layer dispatch is pathologically slow through a
+    # remote-device transport (hundreds of tiny op round-trips)
+    variables = jax.jit(model.init, static_argnames="train")(rng, x, train=False)
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
