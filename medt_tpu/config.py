@@ -48,6 +48,7 @@ class Config:
     # ("argmax" = corrected decision rule)
     # performance
     use_pallas: str = "yes"          # fused Pallas attention on the eval path
+    remat: bool = False              # rematerialize fwd in bwd (bigger batches)
     dtype: str = "float32"           # float32 | bfloat16 compute
     aug: str = "off"
     profile_dir: Optional[str] = None

@@ -54,16 +54,26 @@ def init_state(model, tx, input_shape, rng=None):
     )
 
 
-def train_step(state: TrainState, batch):
-    """One optimization step. batch = {'image': NHWC float, 'label': NHW int}."""
+def train_step(state: TrainState, batch, *, remat: bool = False):
+    """One optimization step. batch = {'image': NHWC float, 'label': NHW int}.
 
-    def loss_fn(params):
-        logits, mut = state.apply_fn(
+    ``remat=True`` rematerializes the forward pass in backward — trades FLOPs
+    for HBM (jax.checkpoint), enabling much larger batches per chip.
+    """
+
+    def forward(params, image):
+        return state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
-            batch["image"],
+            image,
             train=True,
             mutable=["batch_stats"],
         )
+
+    if remat:
+        forward = jax.checkpoint(forward)
+
+    def loss_fn(params):
+        logits, mut = forward(params, batch["image"])
         loss = log_nll_loss(logits, batch["label"])
         return loss, (logits, mut["batch_stats"])
 

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
+from ..parallel.distributed import initialize_multihost
 from ..data import DataLoader, ImageToImage2D, JointTransform2D
 from ..metrics import binary_seg_scores, logits_to_foreground
 from ..models import build_model
@@ -114,6 +115,7 @@ def validate(cfg: Config, state: TrainState, val_loader: DataLoader,
 def run_training(cfg: Config, state: Optional[TrainState] = None,
                  train_loader: Optional[DataLoader] = None,
                  val_loader: Optional[DataLoader] = None) -> TrainState:
+    initialize_multihost()  # no-op on single-host jobs
     np.random.seed(cfg.seed)  # reference seeds numpy/torch to 3000
 
     if train_loader is None:
@@ -144,7 +146,9 @@ def run_training(cfg: Config, state: Optional[TrainState] = None,
                 if os.path.basename(newest).isdigit() else start_epoch
             print(f"resumed from {newest} at epoch {start_epoch}")
 
-    step_fn = jax.jit(train_step, donate_argnums=0)
+    import functools
+    step_fn = jax.jit(functools.partial(train_step, remat=cfg.remat),
+                      donate_argnums=0)
     eval_fn = jax.jit(eval_step)
     logger = Logger(verbose=True,
                     jsonl_path=os.path.join(cfg.direc, "train_log.jsonl")
