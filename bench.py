@@ -28,8 +28,9 @@ REFERENCE_IMGS_PER_SEC = 8.0  # pinned estimate; see module docstring
 MODEL = "MedT"
 IMG = 128
 BATCH = 32  # saturate the chip; reference uses 4 but TPU batches should be fat
-WARMUP_STEPS = 3
-MEASURE_STEPS = 20
+UNROLL = 2  # steps fused per dispatch: amortizes host->device dispatch latency
+WARMUP_CALLS = 2
+MEASURE_CALLS = 20
 
 
 def main():
@@ -45,18 +46,23 @@ def main():
         "label": jnp.asarray(rng.integers(0, 2, size=(BATCH, IMG, IMG))),
     }
 
-    step = jax.jit(train_step, donate_argnums=0)
-    for _ in range(WARMUP_STEPS):
+    def multi_step(state, batch):
+        for _ in range(UNROLL):
+            state, metrics = train_step(state, batch)
+        return state, metrics
+
+    step = jax.jit(multi_step, donate_argnums=0)
+    for _ in range(WARMUP_CALLS):
         state, metrics = step(state, batch)
     jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
+    for _ in range(MEASURE_CALLS):
         state, metrics = step(state, batch)
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 
-    imgs_per_sec = MEASURE_STEPS * BATCH / dt
+    imgs_per_sec = MEASURE_CALLS * UNROLL * BATCH / dt
     print(json.dumps({
         "metric": f"train imgs/sec/chip ({MODEL} {IMG}x{IMG} b{BATCH})",
         "value": round(imgs_per_sec, 2),
