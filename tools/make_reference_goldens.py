@@ -1,0 +1,100 @@
+"""Generate full-model parity goldens from the PyTorch reference.
+
+Runs the *actual reference implementation* (expected at /root/reference or
+$MEDT_REFERENCE) on CPU torch, and saves, per model: the torch state_dict,
+a fixed random input, the eval-mode output, the train-mode output, and the
+post-forward running statistics of one probe BN. The test suite
+(tests/test_reference_parity.py) imports those weights through
+medt_tpu.utils.torch_import and requires output agreement — the strongest
+available evidence that this framework computes the same function.
+
+Usage:  python tools/make_reference_goldens.py [out_dir]
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+REF = os.environ.get("MEDT_REFERENCE", "/root/reference")
+OUT = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    os.path.dirname(__file__), "..", "tests", "goldens")
+
+CONFIGS = [
+    # (name, factory, img_size, imgchan, batch)
+    ("axialunet", "axialunet", 64, 3, 2),
+    ("gatedaxialunet", "gated", 64, 3, 2),
+    ("MedT", "MedT", 128, 3, 1),
+]
+
+
+def main():
+    sys.path.insert(0, REF)
+    import torch
+
+    # the reference package imports torchvision at package-import time for
+    # its (dead) ImageNet pipeline; stub it if absent — the model code never
+    # touches it
+    try:
+        import torchvision  # noqa
+    except ModuleNotFoundError:
+        import types
+
+        tv = types.ModuleType("torchvision")
+        for sub in ("transforms", "datasets", "models"):
+            mod = types.ModuleType(f"torchvision.{sub}")
+            setattr(tv, sub, mod)
+            sys.modules[f"torchvision.{sub}"] = mod
+        sys.modules["torchvision"] = tv
+
+    import lib  # noqa: the reference package
+
+    os.makedirs(OUT, exist_ok=True)
+    for name, factory, img, chan, batch in CONFIGS:
+        torch.manual_seed(3000)  # the reference's pinned seed (train.py:118)
+        model = getattr(lib.models.axialnet, factory)(
+            img_size=img, imgchan=chan)
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(batch, chan, img, img)).astype(np.float32)
+        xt = torch.from_numpy(x)
+
+        # snapshot the fresh state dict before any forward mutates BN stats
+        sd = {k: v.detach().clone().numpy()
+              for k, v in model.state_dict().items()}
+
+        model.eval()
+        with torch.no_grad():
+            out_eval = model(xt).numpy()
+
+        # train-mode forward: batch-stat normalization + running-stat update.
+        # (skipped for MedT: its sequential per-patch BN batches are replaced
+        # by joint space-to-batch statistics here — a documented divergence.)
+        out_train = None
+        if factory in ("axialunet", "gated"):
+            model.train()
+            with torch.no_grad():
+                out_train = model(xt).numpy()
+
+        blob = {
+            "__input__": x,
+            "__out_eval__": out_eval,
+        }
+        if out_train is not None:
+            blob["__out_train__"] = out_train
+            sd_after = model.state_dict()
+            blob["__stats_after__.bn1.running_mean"] = (
+                sd_after["bn1.running_mean"].numpy())
+            blob["__stats_after__.bn1.running_var"] = (
+                sd_after["bn1.running_var"].numpy())
+
+        for k, v in sd.items():
+            blob["sd." + k] = v
+        path = os.path.join(OUT, f"{name}.npz")
+        np.savez_compressed(path, **blob)
+        print(f"{name}: wrote {path} ({os.path.getsize(path)/1e6:.1f} MB), "
+              f"out_eval mean {out_eval.mean():.6f}")
+
+
+if __name__ == "__main__":
+    main()
