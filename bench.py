@@ -46,13 +46,28 @@ def main():
         "label": jnp.asarray(rng.integers(0, 2, size=(BATCH, IMG, IMG))),
     }
 
-    def multi_step(state, batch):
-        for _ in range(UNROLL):
-            state, metrics = train_step(state, batch)
-        return state, metrics
+    def make_step(unroll):
+        def multi_step(state, batch):
+            for _ in range(unroll):
+                state, metrics = train_step(state, batch)
+            return state, metrics
+        return jax.jit(multi_step, donate_argnums=0)
 
-    step = jax.jit(multi_step, donate_argnums=0)
-    for _ in range(WARMUP_CALLS):
+    # the remote compile service occasionally rejects larger programs; fall
+    # back to smaller unrolls rather than failing the benchmark run
+    unroll = UNROLL
+    while True:
+        try:
+            step = make_step(unroll)
+            state, metrics = step(state, batch)
+            jax.block_until_ready(state.params)
+            break
+        except Exception:
+            if unroll <= 1:
+                raise
+            unroll //= 2
+
+    for _ in range(WARMUP_CALLS - 1):
         state, metrics = step(state, batch)
     jax.block_until_ready(state.params)
 
@@ -62,7 +77,7 @@ def main():
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 
-    imgs_per_sec = MEASURE_CALLS * UNROLL * BATCH / dt
+    imgs_per_sec = MEASURE_CALLS * unroll * BATCH / dt
     print(json.dumps({
         "metric": f"train imgs/sec/chip ({MODEL} {IMG}x{IMG} b{BATCH})",
         "value": round(imgs_per_sec, 2),
