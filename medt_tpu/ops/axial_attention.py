@@ -190,6 +190,9 @@ class AxialAttention(nn.Module):
         fused_ok = (
             self.use_fused and not train and not self.is_initializing()
             and self.mode in (MODE_FULL, MODE_GATED, MODE_WOPOS)
+            # long spans (the 512px models' global branch) exceed the
+            # kernel's VMEM budget; those layers use the XLA path
+            and span <= 128
         )
         if fused_ok:
             from .pallas_axial import fused_eval_attention

@@ -130,7 +130,11 @@ def axial_attention_fused(q, k, v, q_emb, k_emb, v_emb,
         interpret = jax.default_backend() != "tpu"
     S, g, c, L = q.shape
     gp = v.shape[2]
-    B = min(stripe_block, S)
+    # each stripe holds ~4 live (L, L) f32 similarity tiles in VMEM; cap the
+    # block so a program stays well under the ~16MB budget (long spans — the
+    # 512px models — would otherwise blow VMEM)
+    vmem_cap = max(1, (1 << 19) // (L * L))
+    B = min(stripe_block, vmem_cap, S)
     while S % B:
         B -= 1
     grid = (S // B, g)

@@ -73,3 +73,15 @@ def test_gated_gates_are_frozen_constants():
     flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
     names = ["/".join(str(k) for k in path) for path, _ in flat]
     assert not any("f_qr" in n or "f_sv" in n for n in names)
+
+
+def test_medt_512_variant_shapes():
+    """512px LoGo variant: 4x4 grid of 128px patches (model_codes.py:1894)."""
+    from medt_tpu.models import build_model
+    model = build_model("medt_512", img_size=512)
+    x = jnp.zeros((1, 512, 512, 3))
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), x, train=False))
+    y = jax.eval_shape(
+        lambda v: model.apply(v, x, train=False), variables)
+    assert y.shape == (1, 512, 512, 2)
