@@ -89,7 +89,12 @@ class DataLoader:
                     if stop.is_set():
                         return
                     samples = list(pool.map(self._fetch, [int(i) for i in b]))
-                    out.put(collate(samples))
+                    while not stop.is_set():  # don't deadlock if consumer quits
+                        try:
+                            out.put(collate(samples), timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
             out.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)

@@ -97,14 +97,16 @@ def convnet_ablation(**kw):
 def medt_512(**kw):
     """512px LoGo variant: same 4x4 grid, 128px patches
     (mix_512, model_codes.py:1894-2096)."""
-    kw.setdefault("img_size", 512)
+    if kw.get("img_size", 128) == 128:  # generic default -> this variant's 512
+        kw["img_size"] = 512
     return MedTNet(global_mode="gated", local_mode="wopos", s=0.125, **kw)
 
 
 @register_model("logo_512")
 def logo_512(**kw):
     """512px logo (mix_net_512, model_codes.py:2306-2308)."""
-    kw.setdefault("img_size", 512)
+    if kw.get("img_size", 128) == 128:
+        kw["img_size"] = 512
     return MedTNet(global_mode="full", local_mode="full", s=0.125, **kw)
 
 

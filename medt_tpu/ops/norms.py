@@ -101,7 +101,6 @@ class BatchNorm(nn.Module):
             "use_running_average", self.use_running_average, use_running_average
         )
         feature_axes = _canonical_axes(x.ndim, self.feature_axes)
-        reduction_axes = tuple(a for a in range(x.ndim) if a not in feature_axes)
         feature_shape = tuple(x.shape[a] for a in feature_axes)
 
         ra_mean = self.variable(
