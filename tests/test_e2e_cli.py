@@ -29,6 +29,7 @@ def test_train_test_sweep_pipeline(dataset, tmp_path):
         "--modelname", "axialunet", "--imgsize", "32", "--batch_size", "3",
         "--epochs", "2", "--save_freq", "1", "--learning_rate", "1e-3",
         "--direc", out, "--workers", "2",
+        "--dp", "8", "--sp", "1", "--tp", "1",
     ])
 
     # training artifacts: JSONL + CSV logs, per-epoch PNG dumps, checkpoints
@@ -48,6 +49,7 @@ def test_train_test_sweep_pipeline(dataset, tmp_path):
         "--val_dataset", val_dir, "--modelname", "axialunet",
         "--imgsize", "32", "--loaddirec", os.path.join(out, "final_model"),
         "--direc", pred_dir, "--workers", "0",
+        "--dp", "8", "--sp", "1", "--tp", "1",
     ])
     metrics = json.load(open(os.path.join(pred_dir, "metrics.json")))
     assert metrics["images"] == 3
@@ -67,6 +69,7 @@ def test_resume_training(dataset, tmp_path):
         "--train_dataset", train_dir, "--modelname", "axialunet",
         "--imgsize", "32", "--batch_size", "3", "--epochs", "1",
         "--save_freq", "1", "--direc", out, "--workers", "0",
+        "--dp", "8", "--sp", "1", "--tp", "1",
     ]
     train_main(args)
     # resume continues past epoch 0 without error
