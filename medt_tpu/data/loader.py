@@ -24,6 +24,25 @@ from typing import Iterator, Optional
 import numpy as np
 
 
+def prefetch_to_device(iterable, convert, size: int = 2):
+    """Keep ``size`` converted batches in flight ahead of the consumer.
+
+    ``convert`` maps a host batch to device arrays (``jnp.asarray`` /
+    ``jax.device_put`` are async — the H2D copy overlaps the device step that
+    is still executing). This is the double-buffering seam the reference's
+    per-step ``.cuda()`` copies lack (reference train.py:134-135).
+    """
+    from collections import deque
+
+    buf = deque()
+    for item in iterable:
+        buf.append(convert(item))
+        if len(buf) > size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def collate(samples):
     """Stack (image, mask, name) samples into a batch dict."""
     images = np.stack([s[0] for s in samples])
@@ -53,18 +72,29 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.epoch = 0
+        # detect rng support once up front: a per-fetch try/except TypeError
+        # would also swallow genuine TypeErrors raised inside transforms
+        try:
+            import inspect
+
+            sig = inspect.signature(dataset.__getitem__)
+            self._rng_kwarg = "rng" in sig.parameters or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in sig.parameters.values()
+            )
+        except (TypeError, ValueError):
+            self._rng_kwarg = False
 
     def __len__(self):
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
 
     def _fetch(self, idx: int) -> tuple:
+        if not self._rng_kwarg:
+            return self.dataset[idx]
         rng = np.random.default_rng(
             self.seed + self.epoch * len(self.dataset) + idx
         )
-        try:
-            return self.dataset.__getitem__(idx, rng=rng)
-        except TypeError:
-            return self.dataset[idx]
+        return self.dataset.__getitem__(idx, rng=rng)
 
     def __iter__(self) -> Iterator[dict]:
         n = len(self.dataset)

@@ -8,7 +8,7 @@ Additional registry entries cover the experimental zoo
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Callable, Dict, Optional
 
 from .axial_unet import ResAxialAttentionUNet
 from .blocks import AxialBlock, AxialStage
@@ -24,21 +24,25 @@ def register_model(name):
     return wrap
 
 
-def build_model(name: str, *, img_size: int = 128, imgchan: int = 3,
+def build_model(name: str, *, img_size: Optional[int] = None, imgchan: int = 3,
                 num_classes: int = 2, dtype=None, use_fused: bool = False,
                 **kwargs):
     """Instantiate a model by its reference-CLI name.
 
-    (imgchan is accepted for API parity; flax infers input channels lazily.)
+    ``img_size=None`` lets each factory pick its native default (128 for the
+    base models, 512 for the ``*_512`` variants); an explicit value is always
+    honored. (imgchan is accepted for API parity; flax infers input channels
+    lazily.)
     """
     del imgchan  # input channels are inferred at init time from the input
     if name not in MODEL_REGISTRY:
         raise KeyError(
             f"unknown model {name!r}; available: {sorted(MODEL_REGISTRY)}"
         )
+    if img_size is not None:
+        kwargs["img_size"] = img_size
     return MODEL_REGISTRY[name](
-        img_size=img_size, num_classes=num_classes, dtype=dtype,
-        use_fused=use_fused, **kwargs
+        num_classes=num_classes, dtype=dtype, use_fused=use_fused, **kwargs
     )
 
 
@@ -72,10 +76,15 @@ def logo(**kw):
 
 @register_model("gated_sig")
 def gated_sig(**kw):
-    """Sigmoid-squashed learned gates (model_codes.py:215-314)."""
-    return ResAxialAttentionUNet(
-        attention_mode="gated_sig", trainable_gates=True, s=0.125, **kw
-    )
+    """Sigmoid-squashed frozen gates (model_codes.py:215-314).
+
+    The reference freezes these at (0.1, 0.1, 0.1, 5.0) — sigmoid(5.0)~0.99
+    on the sv branch (model_codes.py:241-244). ``trainable_gates=True`` is an
+    opt-in for the trained-gate setting described in the paper.
+    """
+    kw.setdefault("gate_init", (0.1, 0.1, 0.1, 5.0))
+    kw.setdefault("trainable_gates", False)
+    return ResAxialAttentionUNet(attention_mode="gated_sig", s=0.125, **kw)
 
 
 @register_model("gated_data")
@@ -96,17 +105,16 @@ def convnet_ablation(**kw):
 @register_model("medt_512")
 def medt_512(**kw):
     """512px LoGo variant: same 4x4 grid, 128px patches
-    (mix_512, model_codes.py:1894-2096)."""
-    if kw.get("img_size", 128) == 128:  # generic default -> this variant's 512
-        kw["img_size"] = 512
+    (mix_512, model_codes.py:1894-2096). An explicit ``img_size`` — even
+    128 — is honored; only the default differs from the base MedT."""
+    kw.setdefault("img_size", 512)
     return MedTNet(global_mode="gated", local_mode="wopos", s=0.125, **kw)
 
 
 @register_model("logo_512")
 def logo_512(**kw):
     """512px logo (mix_net_512, model_codes.py:2306-2308)."""
-    if kw.get("img_size", 128) == 128:
-        kw["img_size"] = 512
+    kw.setdefault("img_size", 512)
     return MedTNet(global_mode="full", local_mode="full", s=0.125, **kw)
 
 
@@ -136,7 +144,7 @@ def shallow(**kw):
 
 
 @register_model("autoencoder")
-def autoencoder(img_size=128, num_classes=2, dtype=None, use_fused=False, **kw):
+def autoencoder(img_size=None, num_classes=2, dtype=None, use_fused=False, **kw):
     """Conv autoencoder (model_codes.py:2224-2256)."""
     from .classifiers import ConvAutoencoder
 

@@ -63,6 +63,7 @@ class ResAxialAttentionUNet(nn.Module):
     s: float = 0.125
     img_size: int = 128
     attention_mode: str = "full"     # "full" -> axialunet, "gated" -> gatedaxialunet
+    gate_init: Tuple[float, float, float, float] = (0.1, 0.1, 0.1, 1.0)
     trainable_gates: bool = False
     use_attention: bool = True
     use_fused: bool = False          # fused Pallas attention on the eval path
@@ -103,7 +104,8 @@ class ResAxialAttentionUNet(nn.Module):
                 inplanes=inplanes, planes=stage_planes[i], blocks=self.layers[i],
                 span=stage_spans[i], stride=stage_strides[i], groups=self.groups,
                 base_width=self.base_width, attention_mode=self.attention_mode,
-                trainable_gates=self.trainable_gates,
+                gate_init=self.gate_init,
+            trainable_gates=self.trainable_gates,
                 use_attention=self.use_attention,
                 use_fused=self.use_fused,
                 dtype=self.dtype, name=f"layer{i + 1}",
@@ -148,6 +150,7 @@ class ResAxialAttentionUNet(nn.Module):
             inplanes=inplanes, planes=stage_planes[0], blocks=self.layers[0],
             span=stage_spans[0], groups=self.groups,
             base_width=self.base_width, attention_mode=self.attention_mode,
+            gate_init=self.gate_init,
             trainable_gates=self.trainable_gates,
             use_attention=self.use_attention, use_fused=self.use_fused,
             dtype=self.dtype, name="layer1",
@@ -158,6 +161,7 @@ class ResAxialAttentionUNet(nn.Module):
             blocks=self.layers[1], span=stage_spans[1], stride=2,
             groups=self.groups, base_width=self.base_width,
             attention_mode=self.attention_mode,
+            gate_init=self.gate_init,
             trainable_gates=self.trainable_gates,
             use_attention=self.use_attention, use_fused=self.use_fused,
             dtype=self.dtype, name="layer2",

@@ -12,7 +12,7 @@ forward never uses, axialnet.py:358 — dead weight we do not reproduce.)
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -32,6 +32,7 @@ class AxialBlock(nn.Module):
     groups: int = 8
     base_width: int = 64
     attention_mode: str = "full"   # full | gated | wopos | gated_sig | gated_data
+    gate_init: Tuple[float, float, float, float] = (0.1, 0.1, 0.1, 1.0)
     trainable_gates: bool = False
     use_attention: bool = True     # False = pure-conv ablation (zoo AxialBlockmod)
     use_fused: bool = False        # fused Pallas kernel on the eval path
@@ -52,13 +53,15 @@ class AxialBlock(nn.Module):
             out = AxialAttention(
                 in_planes=width, out_planes=width, span=self.span,
                 groups=self.groups, axis="h", mode=self.attention_mode,
+                gate_init=self.gate_init,
                 trainable_gates=self.trainable_gates, use_fused=self.use_fused,
                 dtype=self.dtype, name="attn_h",
             )(out, train=train)
             out = AxialAttention(
                 in_planes=width, out_planes=width, span=self.span,
                 groups=self.groups, axis="w", stride=self.stride,
-                mode=self.attention_mode, trainable_gates=self.trainable_gates,
+                mode=self.attention_mode, gate_init=self.gate_init,
+                trainable_gates=self.trainable_gates,
                 use_fused=self.use_fused, dtype=self.dtype, name="attn_w",
             )(out, train=train)
         else:
@@ -97,6 +100,7 @@ class AxialStage(nn.Module):
     groups: int = 8
     base_width: int = 64
     attention_mode: str = "full"
+    gate_init: Tuple[float, float, float, float] = (0.1, 0.1, 0.1, 1.0)
     trainable_gates: bool = False
     use_attention: bool = True
     use_fused: bool = False
@@ -112,6 +116,7 @@ class AxialStage(nn.Module):
                 inplanes=inplanes, planes=self.planes, span=span,
                 stride=stride, groups=self.groups, base_width=self.base_width,
                 attention_mode=self.attention_mode,
+                gate_init=self.gate_init,
                 trainable_gates=self.trainable_gates,
                 use_attention=self.use_attention,
                 use_fused=self.use_fused,

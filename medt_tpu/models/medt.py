@@ -28,7 +28,7 @@ the thin 8-channel global stem (reference axialnet.py:557-566).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -73,6 +73,7 @@ class MedTNet(nn.Module):
     patch_grid: int = 4
     global_mode: str = "gated"
     local_mode: str = "wopos"
+    gate_init: Tuple[float, float, float, float] = (0.1, 0.1, 0.1, 1.0)
     trainable_gates: bool = False
     use_fused: bool = False          # fused Pallas attention on the eval path
     dtype: Optional[jnp.dtype] = None
@@ -90,6 +91,7 @@ class MedTNet(nn.Module):
             inplanes=int(64 * s), planes=stage_planes[0], blocks=self.layers[0],
             span=self.img_size // 2, groups=self.groups,
             base_width=self.base_width, attention_mode=self.global_mode,
+            gate_init=self.gate_init,
             trainable_gates=self.trainable_gates, use_fused=self.use_fused,
             dtype=self.dtype, name="layer1",
         )
@@ -99,6 +101,7 @@ class MedTNet(nn.Module):
             blocks=self.layers[1], span=self.img_size // 2, stride=2,
             groups=self.groups, base_width=self.base_width,
             attention_mode=self.global_mode,
+            gate_init=self.gate_init,
             trainable_gates=self.trainable_gates, use_fused=self.use_fused,
             dtype=self.dtype, name="layer2",
         )
@@ -127,7 +130,8 @@ class MedTNet(nn.Module):
                 inplanes=inplanes, planes=stage_planes[i], blocks=self.layers[i],
                 span=spans[i], stride=strides[i], groups=self.groups,
                 base_width=self.base_width, attention_mode=self.local_mode,
-                trainable_gates=self.trainable_gates,
+                gate_init=self.gate_init,
+            trainable_gates=self.trainable_gates,
                 use_fused=self.use_fused,
                 dtype=self.dtype, name=f"layer{i + 1}_p",
             )

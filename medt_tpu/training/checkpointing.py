@@ -49,10 +49,16 @@ def restore_checkpoint(path: str, state, *, with_optimizer: bool = True):
     path = os.path.abspath(path)
     if os.path.isdir(os.path.join(path, "ckpt")):
         path = os.path.join(path, "ckpt")
-    # checkpoints always carry the optimizer state; restore the full tree and
-    # apply only what was asked for (inference restores ignore opt_state)
-    template = _ckpt_tree(state, with_optimizer=True)
+    # the checkpoint may have been written without optimizer state
+    # (save_checkpoint(with_optimizer=False)); probe its item tree so the
+    # restore template matches what is actually on disk
+    try:
+        with ocp.PyTreeCheckpointer() as probe:
+            saved_keys = set(probe.metadata(path).item_metadata.tree.keys())
+    except Exception:
+        saved_keys = {"params", "batch_stats", "step", "opt_state"}
     with ocp.StandardCheckpointer() as ckptr:
+        template = _ckpt_tree(state, with_optimizer="opt_state" in saved_keys)
         restored = ckptr.restore(path, template)
     # re-place restored arrays on the live state's shardings (restore may
     # land everything on one device while the state is mesh-sharded)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..config import Config
 from ..parallel.distributed import initialize_multihost
 from ..data import DataLoader, ImageToImage2D, JointTransform2D
+from ..data.loader import prefetch_to_device
 from ..metrics import binary_seg_scores, logits_to_foreground
 from ..models import build_model
 from ..utils import Logger, ThroughputMeter, chk_mkdir, profiler_trace
@@ -157,15 +158,20 @@ def run_training(cfg: Config, state: Optional[TrainState] = None,
     with profiler_trace(cfg.profile_dir):
         for epoch in range(start_epoch, cfg.epochs):
             meter = ThroughputMeter()
-            epoch_loss, n_batches = 0.0, 0
-            for batch in train_loader:
-                state, metrics = step_fn(state, _device_batch(batch))
-                epoch_loss += float(metrics["loss"])
+            # accumulate the loss ON DEVICE: a float() here would force a
+            # host sync every step — the reference's per-step .cpu() bug
+            # class (reference train.py:142-149) — and stall dispatch
+            epoch_loss, n_batches = jnp.zeros((), jnp.float32), 0
+            for n_imgs, dev_batch in prefetch_to_device(
+                    train_loader,
+                    lambda b: (len(b["name"]), _device_batch(b))):
+                state, metrics = step_fn(state, dev_batch)
+                epoch_loss = epoch_loss + metrics["loss"]
                 n_batches += 1
-                meter.update(len(batch["name"]))
+                meter.update(n_imgs)
             entry = {
                 "epoch": epoch,
-                "loss": epoch_loss / max(n_batches, 1),
+                "loss": float(epoch_loss) / max(n_batches, 1),
                 "imgs_per_sec": round(meter.imgs_per_sec, 2),
             }
             if epoch % cfg.save_freq == 0:

@@ -75,6 +75,16 @@ def test_gated_gates_are_frozen_constants():
     assert not any("f_qr" in n or "f_sv" in n for n in names)
 
 
+def test_512_factories_honor_explicit_img_size():
+    """An explicit img_size — even 128 — must win over the 512 default
+    (regression: the factory used to silently override 128 with 512)."""
+    from medt_tpu.models import build_model
+    assert build_model("medt_512").img_size == 512
+    assert build_model("medt_512", img_size=128).img_size == 128
+    assert build_model("logo_512", img_size=256).img_size == 256
+    assert build_model("MedT").img_size == 128
+
+
 def test_medt_512_variant_shapes():
     """512px LoGo variant: 4x4 grid of 128px patches (model_codes.py:1894)."""
     from medt_tpu.models import build_model

@@ -78,3 +78,23 @@ def test_warmup_cosine_schedule():
     assert float(sched(0)) < 0.1          # early warmup
     assert abs(float(sched(20)) - 1.0) < 1e-6   # warmup done
     assert float(sched(99)) < 0.01        # decayed
+
+
+def test_checkpoint_without_optimizer_roundtrip(tmp_path):
+    """save_checkpoint(with_optimizer=False) must be restorable (regression:
+    the restore template used to always demand an opt_state subtree)."""
+    from medt_tpu.training.checkpointing import (restore_checkpoint,
+                                                 save_checkpoint)
+
+    model = build_model("axialunet", img_size=32)
+    state = init_state(model, adam_l2(1e-3), (1, 32, 32, 3))
+    save_checkpoint(str(tmp_path), "0", state, with_optimizer=False,
+                    also_final=False)
+    blank = init_state(model, adam_l2(1e-3), (1, 32, 32, 3),
+                       rng=jax.random.PRNGKey(7))
+    restored = restore_checkpoint(str(tmp_path / "0"), blank,
+                                  with_optimizer=False)
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

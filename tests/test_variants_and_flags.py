@@ -50,9 +50,14 @@ def test_zoo_gate_variants_train(name):
     state, m = jax.jit(train_step)(state, batch)
     assert np.isfinite(float(m["loss"]))
     if name == "gated_sig":
-        # sigmoid-gate variant trains its gates: they must exist as params
+        # released reference freezes sigmoid gates at (0.1, 0.1, 0.1, 5.0)
+        # (model_codes.py:241-244): frozen by default -> no gate params
+        assert model.gate_init == (0.1, 0.1, 0.1, 5.0)
         flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
-        assert any("f_qr" in "/".join(map(str, p)) for p, _ in flat)
+        assert not any("f_qr" in "/".join(map(str, p)) for p, _ in flat)
+        # the trained-gate setting stays available as an opt-in
+        m2 = build_model(name, img_size=32, trainable_gates=True)
+        assert m2.trainable_gates and m2.gate_init == (0.1, 0.1, 0.1, 5.0)
 
 
 def test_trainable_gates_receive_gradients():
