@@ -187,11 +187,22 @@ class AxialAttention(nn.Module):
         out_scale, out_bias, out_mean, out_var = self._bn_vars(
             "bn_output", out_shape_)
 
+        from .pallas_axial import fused_eval_supported
+
+        # spans are admitted by a VMEM feasibility check — the 512px models'
+        # global branch (span 256) runs fused; only huge span*gp fall back
         fused_ok = (
             self.use_fused and not train and not self.is_initializing()
             and self.mode in (MODE_FULL, MODE_GATED, MODE_WOPOS)
-            # long spans (the 512px models' global branch) exceed the
-            # kernel's VMEM budget; those layers use the XLA path
+            and fused_eval_supported(span, gp)
+        )
+        # train-mode fusion additionally covers gated_sig (its sigmoid gates
+        # are plain XLA glue); gated_data's per-sample gates cannot fold into
+        # the shared embedding tables, so it stays on the XLA path
+        fused_train_ok = (
+            self.use_fused and train and not self.is_initializing()
+            and self.mode in (MODE_FULL, MODE_GATED, MODE_WOPOS,
+                              MODE_GATED_SIG)
             and span <= 128
         )
         if fused_ok:
@@ -203,15 +214,27 @@ class AxialAttention(nn.Module):
                     "relative", normal_by_fan(gp), (2 * gp, 2 * span - 1),
                     jnp.float32,
                 )
+            # read the live gate values (parameters when trainable_gates, else
+            # the frozen constants) so the fused path tracks learned gates
+            gate_vals = self._gates(None)
+            if gate_vals is None:  # full / wopos: no gating
+                gate_vals = self.gate_init
             stripes = qkv.transpose(0, 2, 1, 3, 4).reshape(n * m, L, g, 2 * gp)
             out = fused_eval_attention(
                 stripes.astype(jnp.float32), relative,
                 sim_scale, sim_bias, sim_mean.value, sim_var.value,
                 out_scale, out_bias, out_mean.value, out_var.value,
-                gp=gp, span=span, mode=self.mode, gates=self.gate_init,
+                gp=gp, span=span, mode=self.mode, gates=gate_vals,
             )  # (n*m, L, g, gp)
             out = out.reshape(n, m, L, self.out_planes).transpose(0, 2, 1, 3)
             out = out.astype(dtype)
+        elif fused_train_ok:
+            out = self._fused_train_attention(
+                qkv, g, gp, span,
+                (sim_scale, sim_bias, sim_mean, sim_var),
+                (out_scale, out_bias, out_mean, out_var),
+                dtype,
+            )
         else:
             out = self._jnp_attention(
                 qkv, g, gp, span, train, data_gates_in,
@@ -236,6 +259,100 @@ class AxialAttention(nn.Module):
             return y
         return batch_norm_eval(x, scale, bias, mean.value, var.value,
                                feature_axes)
+
+    def _fused_train_attention(self, qkv, g, gp, span, sim_bn, out_bn, dtype):
+        """Train-mode fused attention (see ops/pallas_axial_train.py).
+
+        The similarity BN's batch moments are computed by factorized XLA
+        einsums (no (S, g, L, L) materialization) and folded into a constant
+        affine for the kernel; gating, folding, and the output BN live in
+        differentiable XLA so autodiff assembles the full BN-coupled
+        backward around the custom-VJP kernel core.
+        """
+        from .pallas_axial_train import (
+            FUSED_TRAIN_MIN_SPAN,
+            attn_core_xla,
+            fold_train_affine,
+            fused_attn_core,
+            fused_train_supported,
+            logit_moments,
+            pack_sim_affine,
+            qk_moments,
+        )
+
+        n, L, m = qkv.shape[0], qkv.shape[1], qkv.shape[2]
+        S, c = n * m, gp // 2
+        stripes = qkv.transpose(0, 2, 1, 3, 4).reshape(S, L, g, 2 * gp)
+        qkv_t = jnp.transpose(stripes, (0, 2, 3, 1)).astype(jnp.float32)
+        q, k, v = qkv_t[:, :, :c], qkv_t[:, :, c:gp], qkv_t[:, :, gp:]
+
+        sim_scale, sim_bias, sim_mean, sim_var = sim_bn
+
+        # below the span threshold the Pallas kernels' per-program overhead
+        # loses to XLA's batched einsums (MedT's local branch, spans 2..16);
+        # both cores share the factorized-moment glue and are interchangeable
+        use_kernel = (span >= FUSED_TRAIN_MIN_SPAN
+                      and fused_train_supported(span, g, gp))
+
+        gates = None
+        if self.mode == MODE_WOPOS:
+            mean_b, var_b, count = qk_moments(q, k)
+            a, b = fold_train_affine(sim_scale, sim_bias, mean_b, var_b)
+            aff = pack_sim_affine(g, a, b, "wopos")
+            if use_kernel:
+                zero_c = jnp.zeros((c, L, L), jnp.float32)
+                zero_p = jnp.zeros((gp, L, L), jnp.float32)
+                sv, sve = fused_attn_core(q, k, v, zero_c, zero_c, zero_p,
+                                          aff)
+            else:
+                sv, sve = attn_core_xla(q, k, v, None, None, None, aff,
+                                        has_pos=False)
+        else:
+            relative = self.param(
+                "relative", normal_by_fan(gp), (2 * gp, 2 * span - 1),
+                jnp.float32,
+            )
+            idx = relative_logit_index(span)
+            all_emb = relative[:, idx].astype(jnp.float32)  # (2gp, L, L)
+            q_emb, k_emb, v_emb = all_emb[:c], all_emb[c:gp], all_emb[gp:]
+            gates = self._gates(None)  # None for MODE_FULL
+            if gates is not None:
+                f_qr, f_kr, f_sve, f_sv = gates
+                # gates apply BEFORE each BN (reference axialnet.py:163-176),
+                # so folding them into the tables keeps the moments exact
+                q_emb = q_emb * f_qr
+                k_emb = k_emb * f_kr
+                v_emb = v_emb * f_sve
+            mean_b, var_b, count = logit_moments(q, k, q_emb, k_emb)
+            a, b = fold_train_affine(sim_scale, sim_bias, mean_b, var_b)
+            aff = pack_sim_affine(g, a, b, self.mode)
+            core = fused_attn_core if use_kernel else attn_core_xla
+            sv, sve = core(q, k, v, q_emb, k_emb, v_emb, aff)
+
+        # similarity-BN running-stat update (torch momentum semantics,
+        # unbiased batch variance — same as ops/norms.py batch_norm_train)
+        if not self.is_initializing():
+            momentum = 0.1
+            ub = var_b * (count / max(count - 1.0, 1.0))
+            sim_mean.value = (1 - momentum) * sim_mean.value + momentum * mean_b
+            sim_var.value = (1 - momentum) * sim_var.value + momentum * ub
+
+        def unstripe(t):  # (S, g, gp, L) -> (n, L, m, g, gp)
+            t = jnp.transpose(t, (0, 3, 1, 2)).reshape(n, m, L, g, gp)
+            return jnp.transpose(t, (0, 2, 1, 3, 4))
+
+        sv = unstripe(sv)
+        if self.mode == MODE_WOPOS:
+            out = self._bn_apply(out_bn, sv, (3, 4), train=True)
+        else:
+            sve = unstripe(sve)  # f_sve already folded into v_emb
+            if gates is not None:
+                sv = sv * f_sv
+            stacked_out = jnp.stack([sv, sve], axis=-1)
+            stacked_out = self._bn_apply(out_bn, stacked_out, (3, 4, 5),
+                                         train=True)
+            out = jnp.sum(stacked_out, axis=-1)
+        return out.reshape(n, L, m, self.out_planes).astype(dtype)
 
     def _jnp_attention(self, qkv, g, gp, span, train, data_gates_in,
                        sim_bn, out_bn, dtype):

@@ -37,6 +37,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def fused_eval_supported(span: int, gp: int) -> bool:
+    """Whether one (stripe-block, group) program fits VMEM.
+
+    Per program: ~4 live (B, L, L) f32 tiles (B adapts down to 1 via the
+    vmem cap in ``axial_attention_fused``) plus this group's q/k/v embedding
+    tables ((2c + gp) * L^2 floats). The 512px models' global branch
+    (span 256, gp <= 4) passes; only huge span*gp combinations fall back.
+    """
+    c = gp // 2
+    B = max(1, min(32, (1 << 19) // (span * span)))
+    tiles = 4 * B * span * span * 4
+    tables = (2 * c + gp) * span * span * 4
+    return tiles + tables <= (12 << 20)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref,
                  qemb_ref, kemb_ref, vemb_ref,
                  simaff_ref, outaff_ref,
@@ -56,9 +71,9 @@ def _attn_kernel(q_ref, k_ref, v_ref,
     q = q_ref[:, 0]        # (B, c, L)
     k = k_ref[:, 0]
     v = v_ref[:, 0]
-    qemb = qemb_ref[0]     # (c, L, L): [c, i, j]
-    kemb = kemb_ref[0]
-    vemb = vemb_ref[0]     # (gp, L, L)
+    qemb = qemb_ref[...]   # (c, L, L): [c, i, j] — shared across groups
+    kemb = kemb_ref[...]
+    vemb = vemb_ref[...]   # (gp, L, L)
 
     # qk[b,i,j] = sum_c q[b,c,i] * k[b,c,j]
     qk = jax.lax.dot_general(
@@ -118,7 +133,7 @@ def axial_attention_fused(q, k, v, q_emb, k_emb, v_emb,
     Args:
       q, k: (S, g, c, L) f32 — S stripes (batch x orthogonal axis).
       v: (S, g, gp, L).
-      q_emb, k_emb: (g, c, L, L); v_emb: (g, gp, L, L) — per-group tables.
+      q_emb, k_emb: (c, L, L); v_emb: (gp, L, L) — group-shared tables.
       sim_affine: (g, 8) packed per-group [qk_s, qk_b, qr_s, qr_b, kr_s,
         kr_b, 0, 0] folded BN affines.
       out_affine: (g, 4, gp) packed [sv_scale, sv_shift, sve_scale, sve_shift].
@@ -130,6 +145,7 @@ def axial_attention_fused(q, k, v, q_emb, k_emb, v_emb,
         interpret = jax.default_backend() != "tpu"
     S, g, c, L = q.shape
     gp = v.shape[2]
+    assert q_emb.ndim == 3, "tables are group-shared (c, L, L)" 
     # each stripe holds ~4 live (L, L) f32 similarity tiles in VMEM; cap the
     # block so a program stays well under the ~16MB budget (long spans — the
     # 512px models — would otherwise blow VMEM)
@@ -149,11 +165,11 @@ def axial_attention_fused(q, k, v, q_emb, k_emb, v_emb,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1, gp, L), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, L, L), lambda i, j: (j, 0, 0, 0),
+            pl.BlockSpec((c, L, L), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, L, L), lambda i, j: (j, 0, 0, 0),
+            pl.BlockSpec((c, L, L), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gp, L, L), lambda i, j: (j, 0, 0, 0),
+            pl.BlockSpec((gp, L, L), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, 8), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -228,9 +244,8 @@ def fused_eval_attention(x_qkv, relative,
             axis=1,
         )  # (g, 4, gp)
 
-    bc = lambda e: jnp.broadcast_to(e[None], (g,) + e.shape)
     out = axial_attention_fused(
-        q, k, v, bc(q_emb), bc(k_emb), bc(v_emb), sim_affine, out_affine,
+        q, k, v, q_emb, k_emb, v_emb, sim_affine, out_affine,
         stripe_block=stripe_block, interpret=interpret,
     )                                            # (S, g, gp, L)
     return jnp.transpose(out, (0, 3, 1, 2))      # (S, L, g, gp)

@@ -77,15 +77,92 @@ def test_fused_width_axis_and_stride():
     np.testing.assert_allclose(y_fused, y_ref, atol=2e-4, rtol=2e-4)
 
 
-def test_train_mode_ignores_fused():
-    """use_fused must not change training behavior (kernel is eval-only)."""
-    rng = np.random.default_rng(1)
+def test_fused_honors_trained_gates():
+    """The fused eval path must read the LIVE gate params, not gate_init
+    (regression: it used to silently fold the init constants)."""
+    rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(2, 8, 8, 6)).astype(np.float32))
-    op1 = AxialAttention(in_planes=6, out_planes=8, span=8, groups=4,
-                         mode="gated", use_fused=False)
-    op2 = AxialAttention(in_planes=6, out_planes=8, span=8, groups=4,
-                         mode="gated", use_fused=True)
-    v = op1.init(jax.random.PRNGKey(0), x, train=True)
-    y1, _ = op1.apply(v, x, train=True, mutable=["batch_stats"])
-    y2, _ = op2.apply(v, x, train=True, mutable=["batch_stats"])
-    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    kw = dict(in_planes=6, out_planes=8, span=8, groups=4, mode="gated",
+              trainable_gates=True)
+    op_ref = AxialAttention(use_fused=False, **kw)
+    variables = op_ref.init(jax.random.PRNGKey(0), x, train=True)
+    _, mut = op_ref.apply(variables, x, train=True, mutable=["batch_stats"])
+    # drift the gates far from their init values
+    params = dict(variables["params"])
+    for g, v in [("f_qr", 0.7), ("f_kr", -0.3), ("f_sve", 1.9), ("f_sv", 0.2)]:
+        assert g in params, sorted(params)
+        params[g] = jnp.asarray(v, jnp.float32)
+    variables = {"params": params, "batch_stats": mut["batch_stats"]}
+
+    y_ref = op_ref.apply(variables, x, train=False)
+    import medt_tpu.ops.pallas_axial as pk
+    orig = pk.axial_attention_fused
+    calls = {}
+
+    def wrapped(*args, **kw2):
+        calls["n"] = calls.get("n", 0) + 1
+        kw2["interpret"] = INTERPRET
+        return orig(*args, **kw2)
+
+    pk.axial_attention_fused = wrapped
+    try:
+        y_fused = AxialAttention(use_fused=True, **kw).apply(
+            variables, x, train=False)
+    finally:
+        pk.axial_attention_fused = orig
+    assert calls.get("n", 0) == 1
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def _train_pair(mode, out_planes=8, groups=4, span=8, n=2):
+    """Loss/outputs/grads/batch-stat updates through both train paths."""
+    c_in = 6
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, span, span, c_in)).astype(np.float32))
+    tgt = jnp.asarray(
+        rng.normal(size=(n, span, span, out_planes)).astype(np.float32))
+    kw = dict(in_planes=c_in, out_planes=out_planes, span=span, groups=groups,
+              mode=mode)
+    op_ref = AxialAttention(use_fused=False, **kw)
+    op_fus = AxialAttention(use_fused=True, **kw)
+    variables = op_ref.init(jax.random.PRNGKey(0), x, train=True)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def loss_fn(op):
+        def f(params, x):
+            out, mut = op.apply({"params": params, "batch_stats": stats}, x,
+                                train=True, mutable=["batch_stats"])
+            return jnp.mean((out - tgt) ** 2), (out, mut["batch_stats"])
+        return f
+
+    r1 = jax.value_and_grad(loss_fn(op_ref), has_aux=True)(params, x)
+    r2 = jax.value_and_grad(loss_fn(op_fus), has_aux=True)(params, x)
+    return r1, r2
+
+
+@pytest.mark.parametrize("mode", ["gated", "full", "wopos", "gated_sig"])
+@pytest.mark.parametrize("span", [8, 32])
+def test_fused_train_matches_jnp(mode, span):
+    """Fused TRAIN path must match the XLA path in outputs, gradients, and
+    running-stat updates. span=8 exercises the factorized-moment XLA core,
+    span=32 the custom-VJP Pallas kernel (FUSED_TRAIN_MIN_SPAN gate)."""
+    ((l1, (o1, s1)), g1), ((l2, (o2, s2)), g2) = _train_pair(mode, span=span)
+    np.testing.assert_allclose(float(l1), float(l2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_train_layer_geometry_gp2():
+    """Smallest group width the models use (gp=2 -> c=1 q/k channels)."""
+    ((l1, (o1, _)), g1), ((l2, (o2, _)), g2) = _train_pair(
+        "gated", out_planes=16, groups=8, span=16)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
