@@ -44,14 +44,125 @@ def _adjust_saturation(img, factor):
     return np.clip((img - gray) * factor + gray, 0.0, 1.0)
 
 
+def _rgb_to_hsv(rgb):
+    """Vectorized RGB->HSV on float [0,1] HWC arrays (colorsys semantics)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = np.max(rgb, axis=-1)
+    minc = np.min(rgb, axis=-1)
+    v = maxc
+    delta = maxc - minc
+    s = np.where(maxc > 0, delta / np.maximum(maxc, 1e-12), 0.0)
+    safe = np.maximum(delta, 1e-12)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = np.where(r == maxc, bc - gc,
+                 np.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = np.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+    return np.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = np.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(np.int64) % 6
+    choices = [
+        np.stack([v, t, p], -1), np.stack([q, v, p], -1),
+        np.stack([p, v, t], -1), np.stack([p, q, v], -1),
+        np.stack([t, p, v], -1), np.stack([v, p, q], -1),
+    ]
+    out = np.select([i[..., None] == k for k in range(6)], choices)
+    return out
+
+
+def _adjust_hue(img, factor):
+    """Shift hue by ``factor`` (in turns, torchvision convention |f| <= 0.5).
+
+    Float-precision HSV round trip (the reference's PIL path quantizes H to
+    uint8; we keep full precision — documented divergence).
+    """
+    if img.shape[-1] != 3 or factor == 0.0:
+        return img
+    hsv = _rgb_to_hsv(img)
+    hsv[..., 0] = (hsv[..., 0] + factor) % 1.0
+    return np.clip(_hsv_to_rgb(hsv), 0.0, 1.0).astype(img.dtype)
+
+
+def random_affine_params(rng, size, degrees=(-90.0, 90.0),
+                         translate=(1.0, 1.0), scale_ranges=(2.0, 2.0),
+                         shears=(-45.0, 45.0)):
+    """Sample (angle, (tx, ty), scale, shear) exactly as the reference's
+    ``T.RandomAffine(180).get_params((-90, 90), (1, 1), (2, 2), (-45, 45),
+    crop)`` call (reference utils.py:88)."""
+    h, w = size
+    angle = float(rng.uniform(*degrees))
+    tx = int(round(float(rng.uniform(-translate[0] * w, translate[0] * w))))
+    ty = int(round(float(rng.uniform(-translate[1] * h, translate[1] * h))))
+    scale = float(rng.uniform(*scale_ranges))
+    shear = float(rng.uniform(*shears))
+    return angle, (tx, ty), scale, shear
+
+
+def _inverse_affine_matrix(center, angle, translate, scale, shear):
+    """Inverse affine map (output pixel -> input pixel), torchvision's
+    center-rotate-shear-scale-translate composition."""
+    rot = np.radians(angle)
+    sx, sy = np.radians(shear), 0.0
+    cx, cy = center
+    tx, ty = translate
+    a = np.cos(rot - sy) / np.cos(sy)
+    b = -np.cos(rot - sy) * np.tan(sx) / np.cos(sy) - np.sin(rot)
+    c = np.sin(rot - sy) / np.cos(sy)
+    d = -np.sin(rot - sy) * np.tan(sx) / np.cos(sy) + np.cos(rot)
+    m = [d / scale, -b / scale, 0.0, -c / scale, a / scale, 0.0]
+    m[2] += m[0] * (-cx - tx) + m[1] * (-cy - ty)
+    m[5] += m[3] * (-cx - tx) + m[4] * (-cy - ty)
+    m[2] += cx
+    m[5] += cy
+    return m
+
+
+def affine_nearest(arr, angle, translate=(0, 0), scale=1.0, shear=0.0,
+                   fill=0.0):
+    """Joint-transform affine warp: one inverse-map nearest resample.
+
+    Nearest keeps masks label-valued (the PIL default resample the reference
+    relies on, reference utils.py:89); works on HW or HWC arrays.
+    """
+    h, w = arr.shape[:2]
+    cy, cx = h * 0.5, w * 0.5
+    m = _inverse_affine_matrix((cx, cy), angle, translate, scale, shear)
+    ys, xs = np.mgrid[0:h, 0:w]
+    # map output pixel centers through the inverse matrix
+    src_x = m[0] * (xs + 0.5) + m[1] * (ys + 0.5) + m[2]
+    src_y = m[3] * (xs + 0.5) + m[4] * (ys + 0.5) + m[5]
+    ix = np.floor(src_x).astype(np.int64)
+    iy = np.floor(src_y).astype(np.int64)
+    valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    ix = np.clip(ix, 0, w - 1)
+    iy = np.clip(iy, 0, h - 1)
+    out = arr[iy, ix]
+    if arr.ndim == 3:
+        out = np.where(valid[..., None], out, np.asarray(fill, arr.dtype))
+    else:
+        out = np.where(valid, out, np.asarray(fill, arr.dtype))
+    return out
+
+
 @dataclass
 class JointTransform2D:
     """Applies the same geometric transform to image and mask.
 
     Args mirror the reference (utils.py:60-68): ``crop`` (size tuple or
     None), ``p_flip``, ``color_jitter_params`` (brightness, contrast,
-    saturation, hue — hue is ignored, documented), ``p_random_affine``
-    (unused by the live scripts; 90-degree-rotation approximation),
+    saturation, hue), ``p_random_affine`` (full joint RandomAffine — the
+    reference samples angle in (-90, 90), translate up to the full extent,
+    scale exactly 2, shear in (-45, 45), reference utils.py:88-89; applied
+    to image and mask with one nearest-resample inverse warp),
     ``long_mask`` (int labels instead of float mask).
     """
 
@@ -81,16 +192,18 @@ class JointTransform2D:
             mask = mask[:, ::-1]
 
         if self.color_jitter_params:
-            b, c, s, _h = self.color_jitter_params
+            b, c, s, h = self.color_jitter_params
             image = _adjust_brightness(image, 1.0 + rng.uniform(-b, b))
             image = _adjust_contrast(image, 1.0 + rng.uniform(-c, c))
             if image.shape[-1] == 3:
                 image = _adjust_saturation(image, 1.0 + rng.uniform(-s, s))
+                image = _adjust_hue(image, float(rng.uniform(-h, h)))
 
         if self.p_random_affine and rng.random() < self.p_random_affine:
-            k = int(rng.integers(0, 4))
-            image = np.rot90(image, k, axes=(0, 1))
-            mask = np.rot90(mask, k, axes=(0, 1))
+            angle, tr, scale, shear = random_affine_params(
+                rng, image.shape[:2])
+            image = affine_nearest(image, angle, tr, scale, shear)
+            mask = affine_nearest(mask, angle, tr, scale, shear)
 
         image = np.ascontiguousarray(image, np.float32)
         if self.long_mask:
