@@ -67,6 +67,11 @@ def _translate(path: Tuple[str, ...]) -> str:
             out.append(("STEM", suffix))
         elif re.match(r"layer\d(_p)?$", p):
             out.append((p, None))
+        elif re.match(r"layer\d+_block\d+$", p):
+            # classification ResNet stage (reference lib/models/resnet.py):
+            # layer2_block1 -> layer2.1
+            stage, blk = p.split("_block")
+            out.append((f"{stage}.{blk}", None))
         elif re.match(r"block\d+$", p):
             out.append((p[5:], None))
         elif p == "attn_h":

@@ -28,6 +28,16 @@ CONFIGS = [
     ("MedT", "MedT", 128, 3, 1),
 ]
 
+# classification backbones (reference lib/models/resnet.py; exported via
+# lib/models/__init__.py:1) — eval goldens for the torch-import path.
+# NOT written to tests/goldens by default: a full-width ResNet state dict is
+# ~40 MB compressed; the parity test generates it on the fly from the
+# reference instead (tests/test_reference_parity.py). Pass --cls to emit.
+CLS_CONFIGS = [
+    ("resnet26", 64, 2),
+    ("resnet18", 64, 2),
+]
+
 
 def main():
     sys.path.insert(0, REF)
@@ -88,6 +98,26 @@ def main():
             blob["__stats_after__.bn1.running_var"] = (
                 sd_after["bn1.running_var"].numpy())
 
+        for k, v in sd.items():
+            blob["sd." + k] = v
+        path = os.path.join(OUT, f"{name}.npz")
+        np.savez_compressed(path, **blob)
+        print(f"{name}: wrote {path} ({os.path.getsize(path)/1e6:.1f} MB), "
+              f"out_eval mean {out_eval.mean():.6f}")
+
+    import lib.models.resnet as ref_resnet
+
+    for name, img, batch in CLS_CONFIGS:
+        torch.manual_seed(3000)
+        model = getattr(ref_resnet, name)(num_classes=10)
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=(batch, 3, img, img)).astype(np.float32)
+        sd = {k: v.detach().clone().numpy()
+              for k, v in model.state_dict().items()}
+        model.eval()
+        with torch.no_grad():
+            out_eval = model(torch.from_numpy(x)).numpy()
+        blob = {"__input__": x, "__out_eval__": out_eval}
         for k, v in sd.items():
             blob["sd." + k] = v
         path = os.path.join(OUT, f"{name}.npz")
