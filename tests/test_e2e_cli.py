@@ -8,6 +8,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from medt_tpu.data.synthetic import make_png_dataset
 
 

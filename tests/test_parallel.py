@@ -41,6 +41,7 @@ def test_partition_specs_shard_attention_groups():
     assert conv and all(s == P() for s in conv)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     model = build_model("axialunet", img_size=64)
     state = init_state(model, adam_l2(1e-3), (8, 64, 64, 3))
