@@ -37,7 +37,8 @@ IMG = 128
 BATCH = 56  # saturate the chip (64+ crashes the axon remote compiler); ref uses 4
 UNROLL = 2  # steps fused per dispatch: amortizes host->device dispatch latency
 WARMUP_CALLS = 3
-MEASURE_CALLS = 150  # ~3ms/dispatch tunnel floor: measure a long call stream
+MEASURE_CALLS = 30  # a window is ~7s device time at the corrected (completion-
+# fetch) timing; dispatch overhead ~3ms/call stays <2% of the window
 
 # bf16 peak matmul throughput per chip, by jax device_kind prefix
 PEAK_BF16_FLOPS = {
@@ -128,13 +129,13 @@ def bench_train(peak):
         state, metrics = step(state, batch)
     jax.block_until_ready(state.params)
 
-    # best of 3 windows. IMPORTANT: end each window with a VALUE FETCH —
+    # best of 2 windows. IMPORTANT: end each window with a VALUE FETCH —
     # over this remote-device transport block_until_ready returns at
     # dispatch-accept, not device completion, which inflates throughput by
     # orders of magnitude (measured: a pure matmul "achieved" 300x peak
     # without the fetch); pulling one scalar forces the real completion wait
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         s, m = state, None
         for _ in range(MEASURE_CALLS):
@@ -182,7 +183,7 @@ def bench_eval(peak):
     jax.block_until_ready(out)
 
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         for _ in range(MEASURE_CALLS):
             out, x = fwd(variables, x)

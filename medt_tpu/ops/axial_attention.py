@@ -205,7 +205,11 @@ class AxialAttention(nn.Module):
                               MODE_GATED_SIG)
             and span <= 128
         )
-        if fused_ok:
+        from .pallas_axial_lanes import lanes_supported
+
+        small_span = span <= 16 and lanes_supported(
+            span, g, gp, qkv.shape[0] * qkv.shape[2])
+        if fused_ok and not small_span:
             from .pallas_axial import fused_eval_attention
 
             relative = None
@@ -228,12 +232,12 @@ class AxialAttention(nn.Module):
             )  # (n*m, L, g, gp)
             out = out.reshape(n, m, L, self.out_planes).transpose(0, 2, 1, 3)
             out = out.astype(dtype)
-        elif fused_train_ok:
+        elif fused_ok or fused_train_ok:
             out = self._fused_train_attention(
                 qkv, g, gp, span,
                 (sim_scale, sim_bias, sim_mean, sim_var),
                 (out_scale, out_bias, out_mean, out_var),
-                dtype,
+                dtype, train=train,
             )
         else:
             out = self._jnp_attention(
@@ -260,15 +264,20 @@ class AxialAttention(nn.Module):
         return batch_norm_eval(x, scale, bias, mean.value, var.value,
                                feature_axes)
 
-    def _fused_train_attention(self, qkv, g, gp, span, sim_bn, out_bn, dtype):
-        """Train-mode fused attention (see ops/pallas_axial_train.py).
+    def _fused_train_attention(self, qkv, g, gp, span, sim_bn, out_bn, dtype,
+                               train: bool = True):
+        """Fused attention around the custom-VJP cores.
 
-        The similarity BN's batch moments are computed by factorized XLA
-        einsums (no (S, g, L, L) materialization) and folded into a constant
-        affine for the kernel; gating, folding, and the output BN live in
-        differentiable XLA so autodiff assembles the full BN-coupled
-        backward around the custom-VJP kernel core.
+        Train mode: the similarity BN's batch moments are computed by
+        factorized XLA einsums (no (S, g, L, L) materialization) and folded
+        into a constant affine for the kernel; gating, folding, and the
+        output BN live in differentiable XLA so autodiff assembles the full
+        BN-coupled backward around the custom-VJP kernel core.
+
+        Eval mode (small spans route here for the stripe-lane kernel): the
+        affine folds the *running* statistics instead and no stats update.
         """
+        from .pallas_axial_lanes import lanes_attn_core, lanes_supported
         from .pallas_axial_train import (
             FUSED_TRAIN_MIN_SPAN,
             attn_core_xla,
@@ -288,22 +297,40 @@ class AxialAttention(nn.Module):
 
         sim_scale, sim_bias, sim_mean, sim_var = sim_bn
 
-        # below the span threshold the Pallas kernels' per-program overhead
-        # loses to XLA's batched einsums (MedT's local branch, spans 2..16);
-        # both cores share the factorized-moment glue and are interchangeable
+        # three interchangeable cores over the shared factorized-moment glue:
+        # stripe-block kernel for L >= 32, stripe-LANE kernel for the small
+        # spans (MedT's local branch, spans 2..16 — L on sublanes, the huge
+        # stripe axis on lanes), XLA einsums when neither admits the shape
         use_kernel = (span >= FUSED_TRAIN_MIN_SPAN
                       and fused_train_supported(span, g, gp))
+        use_lanes = (not use_kernel) and lanes_supported(span, g, gp, S)
+
+        def to_lanes(t):  # (S, g, x, L) -> (g, x, L, S)
+            return jnp.transpose(t, (1, 2, 3, 0))
+
+        def from_lanes(t):  # (g, gp, L, S) -> (S, g, gp, L)
+            return jnp.transpose(t, (3, 0, 1, 2))
 
         gates = None
         if self.mode == MODE_WOPOS:
-            mean_b, var_b, count = qk_moments(q, k)
-            a, b = fold_train_affine(sim_scale, sim_bias, mean_b, var_b)
+            if train:
+                mean_b, var_b, count = qk_moments(q, k)
+                a, b = fold_train_affine(sim_scale, sim_bias, mean_b, var_b)
+            else:
+                a, b = fold_train_affine(sim_scale, sim_bias,
+                                         sim_mean.value, sim_var.value)
             aff = pack_sim_affine(g, a, b, "wopos")
             if use_kernel:
                 zero_c = jnp.zeros((c, L, L), jnp.float32)
                 zero_p = jnp.zeros((gp, L, L), jnp.float32)
                 sv, sve = fused_attn_core(q, k, v, zero_c, zero_c, zero_p,
                                           aff)
+            elif use_lanes:
+                empty = jnp.zeros((0, L, L), jnp.float32)
+                sv_l, _ = lanes_attn_core(to_lanes(q), to_lanes(k),
+                                          to_lanes(v), empty, empty, empty,
+                                          aff)
+                sv, sve = from_lanes(sv_l), None
             else:
                 sv, sve = attn_core_xla(q, k, v, None, None, None, aff,
                                         has_pos=False)
@@ -323,15 +350,25 @@ class AxialAttention(nn.Module):
                 q_emb = q_emb * f_qr
                 k_emb = k_emb * f_kr
                 v_emb = v_emb * f_sve
-            mean_b, var_b, count = logit_moments(q, k, q_emb, k_emb)
-            a, b = fold_train_affine(sim_scale, sim_bias, mean_b, var_b)
+            if train:
+                mean_b, var_b, count = logit_moments(q, k, q_emb, k_emb)
+                a, b = fold_train_affine(sim_scale, sim_bias, mean_b, var_b)
+            else:
+                a, b = fold_train_affine(sim_scale, sim_bias,
+                                         sim_mean.value, sim_var.value)
             aff = pack_sim_affine(g, a, b, self.mode)
-            core = fused_attn_core if use_kernel else attn_core_xla
-            sv, sve = core(q, k, v, q_emb, k_emb, v_emb, aff)
+            if use_lanes:
+                sv_l, sve_l = lanes_attn_core(
+                    to_lanes(q), to_lanes(k), to_lanes(v),
+                    q_emb, jnp.swapaxes(k_emb, 1, 2), v_emb, aff)
+                sv, sve = from_lanes(sv_l), from_lanes(sve_l)
+            else:
+                core = fused_attn_core if use_kernel else attn_core_xla
+                sv, sve = core(q, k, v, q_emb, k_emb, v_emb, aff)
 
         # similarity-BN running-stat update (torch momentum semantics,
         # unbiased batch variance — same as ops/norms.py batch_norm_train)
-        if not self.is_initializing():
+        if train and not self.is_initializing():
             momentum = 0.1
             ub = var_b * (count / max(count - 1.0, 1.0))
             sim_mean.value = (1 - momentum) * sim_mean.value + momentum * mean_b
@@ -343,14 +380,14 @@ class AxialAttention(nn.Module):
 
         sv = unstripe(sv)
         if self.mode == MODE_WOPOS:
-            out = self._bn_apply(out_bn, sv, (3, 4), train=True)
+            out = self._bn_apply(out_bn, sv, (3, 4), train=train)
         else:
             sve = unstripe(sve)  # f_sve already folded into v_emb
             if gates is not None:
                 sv = sv * f_sv
             stacked_out = jnp.stack([sv, sve], axis=-1)
             stacked_out = self._bn_apply(out_bn, stacked_out, (3, 4, 5),
-                                         train=True)
+                                         train=train)
             out = jnp.sum(stacked_out, axis=-1)
         return out.reshape(n, L, m, self.out_planes).astype(dtype)
 
