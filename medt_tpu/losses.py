@@ -33,6 +33,27 @@ def log_nll_loss(logits, labels, weight: Optional[jnp.ndarray] = None,
     return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1e-12)
 
 
+def deep_supervision_loss(outputs, labels, aux_weight: float = 0.4,
+                          weight: Optional[jnp.ndarray] = None,
+                          ignore_index: int = -100):
+    """Main CE + weighted mean of per-scale aux CEs.
+
+    ``outputs`` is the (logits, aux_tuple) a deep-supervision model emits
+    (models/axial_unet.py ``deep_supervision``); each aux head is scored
+    against the label nearest-downsampled to its own resolution.
+    """
+    logits, aux = outputs
+    loss = log_nll_loss(logits, labels, weight, ignore_index)
+    if not aux:
+        return loss
+    aux_total = 0.0
+    for a in aux:
+        f = labels.shape[1] // a.shape[1]
+        lab = labels[:, ::f, ::f] if f > 1 else labels
+        aux_total = aux_total + log_nll_loss(a, lab, weight, ignore_index)
+    return loss + aux_weight * aux_total / len(aux)
+
+
 def label_smoothing(logits, labels, eta: float = 0.1):
     """One-hot targets smoothed to (1-eta) + eta/C (reference lib/utils.py:33-46)."""
     n_classes = logits.shape[-1]

@@ -129,15 +129,24 @@ class ResAxialAttentionUNet(nn.Module):
                         in_features=int(128 * s), name="adjust",
                         dtype=self.dtype)(nn.relu(d))
         if self.deep_supervision:
-            # functional deep-supervision heads (the reference's unetplus
-            # declares inter* heads its forward never calls,
-            # model_codes.py:1134-1180 — made real here)
-            aux = conv2d(self.num_classes, 1, padding=0, use_bias=True,
-                         in_features=int(256 * s), name="aux_head",
-                         dtype=self.dtype)(skips[0])
+            # multi-scale deep-supervision heads, one per encoder stage: the
+            # reference's unetplus declares a 3x3 refine (inter1..4, channels
+            # 32/64/128/256 == the four stage outputs at s=0.125) and a 1x1
+            # num_classes head (inte1..4) per scale that its forward never
+            # calls (model_codes.py:1134-1143) — made real here, emitting
+            # aux logits at each stage's native resolution
+            aux = []
+            for i, skip in enumerate(skips):
+                ch = skip.shape[-1]
+                h = conv2d(ch, 3, use_bias=True, in_features=ch,
+                           name=f"inter{i + 1}", dtype=self.dtype)(skip)
+                h = conv2d(self.num_classes, 1, padding=0, use_bias=True,
+                           in_features=ch, name=f"inte{i + 1}",
+                           dtype=self.dtype)(nn.relu(h))
+                aux.append(nn.softmax(h, axis=-1) if self.final_softmax else h)
             if self.final_softmax:
-                return nn.softmax(logits, axis=-1), nn.softmax(aux, axis=-1)
-            return logits, aux
+                return nn.softmax(logits, axis=-1), tuple(aux)
+            return logits, tuple(aux)
         if self.final_softmax:
             return nn.softmax(logits, axis=-1)
         return logits

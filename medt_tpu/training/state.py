@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ..losses import log_nll_loss
+from ..losses import deep_supervision_loss, log_nll_loss
 
 
 class TrainState(struct.PyTreeNode):
@@ -74,7 +74,12 @@ def train_step(state: TrainState, batch, *, remat: bool = False):
 
     def loss_fn(params):
         logits, mut = forward(params, batch["image"])
-        loss = log_nll_loss(logits, batch["label"])
+        if isinstance(logits, tuple):
+            # deep-supervision models emit (logits, per-scale aux heads)
+            loss = deep_supervision_loss(logits, batch["label"])
+            logits = logits[0]
+        else:
+            loss = log_nll_loss(logits, batch["label"])
         return loss, (logits, mut["batch_stats"])
 
     (loss, (logits, new_stats)), grads = jax.value_and_grad(

@@ -23,11 +23,31 @@ def test_zoo_segmentation_variants(name):
     if name == "unetplusplus":
         logits, aux = y
         assert logits.shape == (1, 32, 32, 2)
-        assert aux.shape[-1] == 2
+        # one aux head per encoder stage at its native scale (the reference
+        # declares inter1..4/inte1..4, model_codes.py:1134-1143)
+        assert len(aux) == 4
+        assert [a.shape[1] for a in aux] == [16, 8, 4, 2]
+        assert all(a.shape[-1] == 2 for a in aux)
         # softmax head: rows sum to 1 (model_codes.py:1225 applies soft)
         np.testing.assert_allclose(np.asarray(logits).sum(-1), 1.0, atol=1e-5)
     else:
         assert y.shape == (1, 32, 32, 2)
+
+
+def test_deep_supervision_train_step():
+    """The train step consumes (logits, aux) outputs via the multi-scale
+    deep-supervision loss and still reduces a scalar."""
+    from medt_tpu.training import adam_l2, init_state, train_step
+
+    model = build_seg_model("unetplusplus", img_size=32)
+    state = init_state(model, adam_l2(1e-3), (2, 32, 32, 3))
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 2, size=(2, 32, 32))),
+    }
+    state, metrics = jax.jit(train_step)(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
 
 
 def test_autoencoder_roundtrip_shape():
