@@ -81,6 +81,15 @@ class MedTNet(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         s = self.s
+        # local-branch geometry: patches are halved by the stem and by the
+        # three strided stages; the decoder1 stride-2+upsample trick
+        # (reference axialnet.py:623) needs a bottom of at least 2x2
+        bottom = self.img_size // (self.patch_grid * 2 * 8)
+        assert bottom >= 2, (
+            f"img_size={self.img_size} with patch_grid={self.patch_grid} "
+            f"bottoms the local branch at {bottom}px (<2). Use img_size >= "
+            f"{self.patch_grid * 32} or a smaller patch_grid (the reference "
+            "hardcodes 128px/4x4, axialnet.py:661-664).")
         stage_planes = [int(128 * s), int(256 * s), int(512 * s), int(1024 * s)]
 
         # ---- global branch (2 encoder stages + 2 decoder stages) ----------
