@@ -33,10 +33,12 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(
 results = []
 
 
-def record(check, maxdiff, note=""):
+def record(check, maxdiff, note="", ref_scale=None):
+    rel = float(maxdiff) / float(ref_scale) if ref_scale else None
     results.append({"check": check, "max_abs_diff": float(maxdiff),
-                    "note": note})
-    print(f"  {check}: max|diff| = {maxdiff:.3e} {note}", flush=True)
+                    "rel_to_max_ref": rel, "note": note})
+    reltxt = f" (rel {rel:.1e})" if rel is not None else ""
+    print(f"  {check}: max|diff| = {maxdiff:.3e}{reltxt} {note}", flush=True)
 
 
 def golden_eval_checks():
@@ -61,7 +63,8 @@ def golden_eval_checks():
         got = np.asarray(out).transpose(0, 3, 1, 2)
         diff = np.abs(got - blob["__out_eval__"]).max()
         record(f"torch-golden eval {name}@{img}", diff,
-               "(f32 weights, bf16 MXU)")
+               "(f32 weights, bf16 MXU)",
+               ref_scale=np.abs(blob["__out_eval__"]).max())
 
 
 def fused_eval_checks():
@@ -90,7 +93,8 @@ def fused_eval_checks():
             variables, x)
         diff = float(jnp.abs(y_ref - y_fus).max())
         record(f"fused eval kernel {mode} gp={out_planes//groups} "
-               f"span={span}", diff, "(Mosaic vs XLA, same chip)")
+               f"span={span}", diff, "(Mosaic vs XLA, same chip)",
+               ref_scale=float(jnp.abs(y_ref).max()))
 
 
 def fused_train_checks():
@@ -119,9 +123,12 @@ def fused_train_checks():
         odiff = float(jnp.abs(o1 - o2).max())
         gdiff = max(float(jnp.abs(a - b).max()) for a, b in zip(
             jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)))
-        record(f"fused train fwd {mode} span={span}", odiff)
+        record(f"fused train fwd {mode} span={span}", odiff,
+               ref_scale=float(jnp.abs(o1).max()))
+        gscale = max(float(jnp.abs(a).max()) for a in
+                     jax.tree_util.tree_leaves(g1))
         record(f"fused train grads {mode} span={span}", gdiff,
-               "(custom VJP vs XLA autodiff)")
+               "(custom VJP vs XLA autodiff)", ref_scale=gscale)
 
 
 def main(argv=None):
@@ -137,10 +144,12 @@ def main(argv=None):
         with open(args.json, "w") as f:
             json.dump({"device": jax.devices()[0].device_kind,
                        "results": results}, f, indent=1)
-    print("\n| check | max abs diff | note |")
-    print("|---|---|---|")
+    print("\n| check | max abs diff | rel (vs max ref) | note |")
+    print("|---|---|---|---|")
     for r in results:
-        print(f"| {r['check']} | {r['max_abs_diff']:.3e} | {r['note']} |")
+        rel = f"{r['rel_to_max_ref']:.1e}" if r['rel_to_max_ref'] else "-"
+        print(f"| {r['check']} | {r['max_abs_diff']:.3e} | {rel} "
+              f"| {r['note']} |")
 
 
 if __name__ == "__main__":
