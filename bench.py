@@ -202,6 +202,9 @@ def bench_eval(peak):
 
 
 def main():
+    from medt_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     peak = _peak_flops()
     train = bench_train(peak)
     ev = bench_eval(peak)

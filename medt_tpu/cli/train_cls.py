@@ -66,6 +66,9 @@ def make_steps(model, label_smoothing: float):
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="medt_tpu classification train")
     p.add_argument("--model", default="resnet26")
     p.add_argument("--train_dataset", required=True)

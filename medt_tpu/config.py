@@ -92,6 +92,9 @@ def add_args(parser: argparse.ArgumentParser) -> None:
 
 
 def parse_config(argv=None, description: str = "medt_tpu") -> Config:
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # every CLI benefits from warm XLA/Mosaic compiles
     parser = argparse.ArgumentParser(description=description)
     add_args(parser)
     ns = parser.parse_args(argv)
