@@ -30,6 +30,32 @@ def test_png_dataset_contract(tmp_path):
     assert name.endswith(".png")
 
 
+def test_decode_cache_serves_after_first_epoch(tmp_path):
+    """cache='auto' keeps decoded pairs in RAM: after a full pass, items are
+    served without touching disk, and random transforms still vary."""
+    root = make_png_dataset(str(tmp_path / "ds"), n=4, img_size=32)
+    tf = JointTransform2D(crop=(16, 16), p_flip=0.5, color_jitter_params=None,
+                          long_mask=True)
+    ds = ImageToImage2D(root, tf)
+    first = [ds.__getitem__(i, rng=np.random.default_rng(i))[0]
+             for i in range(4)]
+    assert len(ds._cache) == 4 and ds._cache_enabled
+    # remove the files: a second epoch must succeed purely from the cache
+    for sub in ("img", "labelcol"):
+        for f in os.listdir(os.path.join(root, sub)):
+            os.remove(os.path.join(root, sub, f))
+    second = [ds.__getitem__(i, rng=np.random.default_rng(i))[0]
+              for i in range(4)]
+    for a, b in zip(first, second):  # same rng -> same transform
+        np.testing.assert_array_equal(a, b)
+    # different rng -> transforms still random (cache holds pre-transform)
+    third = ds.__getitem__(0, rng=np.random.default_rng(999))[0]
+    assert not np.array_equal(first[0], third)
+    # cache='off' never stores
+    ds_off = ImageToImage2D(root, tf, cache="off")
+    assert ds_off._cache_enabled is False
+
+
 def test_gray_mode_and_threshold_order(tmp_path):
     root = make_png_dataset(str(tmp_path / "ds"), n=2, img_size=32, gray=True)
     ds = ImageToImage2D(root, None, gray=True)

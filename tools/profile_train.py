@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--logdir", default="/tmp/medt_tpu_trace")
+    p.add_argument("--use_pallas", default="yes")
+    p.add_argument("--no_trace", action="store_true",
+                   help="skip the XPlane capture (timings only)")
     args = p.parse_args(argv)
 
     from medt_tpu.models import build_model
@@ -42,16 +45,24 @@ def main(argv=None):
         "image": jnp.asarray(rng.normal(size=(B, S, S, 3)).astype(np.float32)),
         "label": jnp.asarray(rng.integers(0, 2, size=(B, S, S))),
     }
-    model = build_model(args.modelname, img_size=S)
+    model = build_model(args.modelname, img_size=S,
+                        use_fused=args.use_pallas == "yes")
     state = init_state(model, adam_l2(1e-3), (B, S, S, 3))
+
+    def fetch(out):
+        # end every window with a VALUE FETCH: on the remote-TPU tunnel
+        # block_until_ready returns at dispatch-accept (BASELINE.md
+        # "Timing correction"), which void the measurement
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        _ = float(jnp.asarray(leaf).ravel()[0])
 
     def timeit(f, *a, n=args.steps):
         out = f(*a)
-        jax.block_until_ready(out)
+        fetch(out)
         t0 = time.perf_counter()
         for _ in range(n):
             out = f(*a)
-        jax.block_until_ready(out)
+        fetch(out)
         return (time.perf_counter() - t0) / n
 
     fwd = jax.jit(lambda p, x: state.apply_fn(
@@ -69,12 +80,12 @@ def main(argv=None):
     t_fwd = timeit(fwd, state.params, batch["image"])
     t_bwd = timeit(jax.jit(grads), state.params, batch)
     step = jax.jit(train_step, donate_argnums=0)
-    st, _ = step(state, batch)
-    jax.block_until_ready(st.params)
+    st, m = step(state, batch)
+    _ = float(m["loss"])
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        st, _ = step(st, batch)
-    jax.block_until_ready(st.params)
+        st, m = step(st, batch)
+    _ = float(m["loss"])
     t_full = (time.perf_counter() - t0) / args.steps
 
     print(f"forward (train mode): {t_fwd * 1e3:8.2f} ms")
@@ -82,12 +93,13 @@ def main(argv=None):
     print(f"full optimizer step:  {t_full * 1e3:8.2f} ms "
           f"({B / t_full:.0f} imgs/s)")
 
-    jax.profiler.start_trace(args.logdir)
-    for _ in range(3):
-        st, _ = step(st, batch)
-    jax.block_until_ready(st.params)
-    jax.profiler.stop_trace()
-    print(f"trace written to {args.logdir}")
+    if not args.no_trace:
+        jax.profiler.start_trace(args.logdir)
+        for _ in range(3):
+            st, m = step(st, batch)
+        _ = float(m["loss"])
+        jax.profiler.stop_trace()
+        print(f"trace written to {args.logdir}")
 
 
 if __name__ == "__main__":
