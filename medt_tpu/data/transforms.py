@@ -172,10 +172,19 @@ class JointTransform2D:
         0.1, 0.1, 0.1, 0.1)
     p_random_affine: float = 0.0
     long_mask: bool = False
+    # "uint8" keeps byte images end to end when no color jitter is active:
+    # crop/flip/affine are dtype-agnostic, and the uint8 -> f32/255
+    # normalization moves into the jitted device step — 4x fewer bytes over
+    # the host->device link per batch (see training/state.py)
+    output_dtype: str = "float32"
 
     def __call__(self, image: np.ndarray, mask: np.ndarray, rng=None):
         rng = rng if rng is not None else np.random.default_rng()
-        image = to_float01(image)
+        keep_uint8 = (self.output_dtype == "uint8"
+                      and image.dtype == np.uint8
+                      and not self.color_jitter_params)
+        if not keep_uint8:
+            image = to_float01(image)
         if image.ndim == 2:
             image = image[..., None]
         if mask.ndim == 3:
@@ -205,7 +214,8 @@ class JointTransform2D:
             image = affine_nearest(image, angle, tr, scale, shear)
             mask = affine_nearest(mask, angle, tr, scale, shear)
 
-        image = np.ascontiguousarray(image, np.float32)
+        image = np.ascontiguousarray(
+            image, np.uint8 if keep_uint8 else np.float32)
         if self.long_mask:
             mask = np.ascontiguousarray(mask, np.int32)
         else:

@@ -54,8 +54,18 @@ def init_state(model, tx, input_shape, rng=None):
     )
 
 
+def _normalize(image):
+    """uint8 batches are normalized ON DEVICE (f32/255, identical to the
+    host-side ``to_float01``): shipping bytes instead of floats cuts the
+    host->device payload 4x, which matters on a tunneled device link."""
+    if image.dtype == jnp.uint8:
+        return image.astype(jnp.float32) / 255.0
+    return image
+
+
 def train_step(state: TrainState, batch, *, remat: bool = False):
-    """One optimization step. batch = {'image': NHWC float, 'label': NHW int}.
+    """One optimization step. batch = {'image': NHWC float or uint8,
+    'label': NHW int}.
 
     ``remat=True`` rematerializes the forward pass in backward — trades FLOPs
     for HBM (jax.checkpoint), enabling much larger batches per chip.
@@ -73,7 +83,7 @@ def train_step(state: TrainState, batch, *, remat: bool = False):
         forward = jax.checkpoint(forward)
 
     def loss_fn(params):
-        logits, mut = forward(params, batch["image"])
+        logits, mut = forward(params, _normalize(batch["image"]))
         if isinstance(logits, tuple):
             # deep-supervision models emit (logits, per-scale aux heads)
             loss = deep_supervision_loss(logits, batch["label"])
@@ -101,6 +111,6 @@ def eval_step(state: TrainState, batch):
     """Forward pass with running BN statistics; returns raw logits."""
     return state.apply_fn(
         {"params": state.params, "batch_stats": state.batch_stats},
-        batch["image"],
+        _normalize(batch["image"]),
         train=False,
     )

@@ -83,8 +83,12 @@ def setup_state(cfg: Config, steps_per_epoch: int) -> TrainState:
 
 
 def _device_batch(batch: dict) -> dict:
+    # uint8 images ship as bytes; the jitted step normalizes on device
+    # (state.py::_normalize) — 4x less host->device traffic than f32
+    img = batch["image"]
     return {
-        "image": jnp.asarray(batch["image"], jnp.float32),
+        "image": jnp.asarray(img) if img.dtype == np.uint8
+        else jnp.asarray(img, jnp.float32),
         "label": jnp.asarray(batch["label"], jnp.int32),
     }
 
@@ -121,14 +125,16 @@ def run_training(cfg: Config, state: Optional[TrainState] = None,
 
     if train_loader is None:
         tf_train = JointTransform2D(crop=cfg.crop_tuple, p_flip=0.5,
-                                    color_jitter_params=None, long_mask=True)
+                                    color_jitter_params=None, long_mask=True,
+                                    output_dtype="uint8")
         train_ds = ImageToImage2D(cfg.train_dataset, tf_train,
                                   gray=cfg.gray == "yes")
         train_loader = DataLoader(train_ds, cfg.batch_size, shuffle=True,
                                   num_workers=cfg.workers, seed=cfg.seed)
     if val_loader is None and cfg.val_dataset:
         tf_val = JointTransform2D(crop=cfg.crop_tuple, p_flip=0,
-                                  color_jitter_params=None, long_mask=True)
+                                  color_jitter_params=None, long_mask=True,
+                                  output_dtype="uint8")
         val_ds = ImageToImage2D(cfg.val_dataset, tf_val,
                                 gray=cfg.gray == "yes")
         val_loader = DataLoader(val_ds, 1, shuffle=False,
