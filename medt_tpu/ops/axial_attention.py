@@ -205,11 +205,14 @@ class AxialAttention(nn.Module):
                               MODE_GATED_SIG)
             and span <= 128
         )
-        from .pallas_axial_lanes import lanes_supported
+        from .pallas_axial_lanes import flash_supported, lanes_supported
 
-        small_span = span <= 16 and lanes_supported(
-            span, g, gp, qkv.shape[0] * qkv.shape[2])
-        if fused_ok and not small_span:
+        stripes_ = qkv.shape[0] * qkv.shape[2]
+        # eval prefers the lanes kernels wherever they are admitted (small
+        # spans: plain lanes; mid spans: key-streamed flash variant)
+        lanes_eval = ((span <= 16 and lanes_supported(span, g, gp, stripes_))
+                      or flash_supported(span, g, gp, stripes_))
+        if fused_ok and not lanes_eval:
             from .pallas_axial import fused_eval_attention
 
             relative = None
@@ -233,6 +236,7 @@ class AxialAttention(nn.Module):
             out = out.reshape(n, m, L, self.out_planes).transpose(0, 2, 1, 3)
             out = out.astype(dtype)
         elif fused_ok or fused_train_ok:
+            # fused_ok + lanes_eval lands here with train=False
             out = self._fused_train_attention(
                 qkv, g, gp, span,
                 (sim_scale, sim_bias, sim_mean, sim_var),
@@ -277,7 +281,12 @@ class AxialAttention(nn.Module):
         Eval mode (small spans route here for the stripe-lane kernel): the
         affine folds the *running* statistics instead and no stats update.
         """
-        from .pallas_axial_lanes import lanes_attn_core, lanes_supported
+        from .pallas_axial_lanes import (
+            flash_lanes_core,
+            flash_supported,
+            lanes_attn_core,
+            lanes_supported,
+        )
         from .pallas_axial_train import (
             FUSED_TRAIN_MIN_SPAN,
             attn_core_xla,
@@ -297,13 +306,18 @@ class AxialAttention(nn.Module):
 
         sim_scale, sim_bias, sim_mean, sim_var = sim_bn
 
-        # three interchangeable cores over the shared factorized-moment glue:
-        # stripe-block kernel for L >= 32, stripe-LANE kernel for the small
-        # spans (MedT's local branch, spans 2..16 — L on sublanes, the huge
-        # stripe axis on lanes), XLA einsums when neither admits the shape
-        use_kernel = (span >= FUSED_TRAIN_MIN_SPAN
+        # four interchangeable cores over the shared factorized-moment glue:
+        # stripe-LANE kernel for small spans (2..16: L on sublanes, the huge
+        # stripe axis on lanes), its key-STREAMED "flash" variant for mid
+        # spans (32..64: online softmax over key blocks — profiled ~3x
+        # faster than the stripe-block kernel's tiny-MXU matmuls), the
+        # stripe-block kernel as the mid/large-span fallback, and XLA
+        # einsums when nothing admits the shape
+        use_flash = flash_supported(span, g, gp, S)
+        use_kernel = (not use_flash and span >= FUSED_TRAIN_MIN_SPAN
                       and fused_train_supported(span, g, gp))
-        use_lanes = (not use_kernel) and lanes_supported(span, g, gp, S)
+        use_lanes = (not use_flash and not use_kernel
+                     and lanes_supported(span, g, gp, S))
 
         def to_lanes(t):  # (S, g, x, L) -> (g, x, L, S)
             return jnp.transpose(t, (1, 2, 3, 0))
@@ -320,17 +334,17 @@ class AxialAttention(nn.Module):
                 a, b = fold_train_affine(sim_scale, sim_bias,
                                          sim_mean.value, sim_var.value)
             aff = pack_sim_affine(g, a, b, "wopos")
-            if use_kernel:
+            if use_flash or use_lanes:
+                core_l = flash_lanes_core if use_flash else lanes_attn_core
+                empty = jnp.zeros((0, L, L), jnp.float32)
+                sv_l, _ = core_l(to_lanes(q), to_lanes(k), to_lanes(v),
+                                 empty, empty, empty, aff)
+                sv, sve = from_lanes(sv_l), None
+            elif use_kernel:
                 zero_c = jnp.zeros((c, L, L), jnp.float32)
                 zero_p = jnp.zeros((gp, L, L), jnp.float32)
                 sv, sve = fused_attn_core(q, k, v, zero_c, zero_c, zero_p,
                                           aff)
-            elif use_lanes:
-                empty = jnp.zeros((0, L, L), jnp.float32)
-                sv_l, _ = lanes_attn_core(to_lanes(q), to_lanes(k),
-                                          to_lanes(v), empty, empty, empty,
-                                          aff)
-                sv, sve = from_lanes(sv_l), None
             else:
                 sv, sve = attn_core_xla(q, k, v, None, None, None, aff,
                                         has_pos=False)
@@ -357,8 +371,9 @@ class AxialAttention(nn.Module):
                 a, b = fold_train_affine(sim_scale, sim_bias,
                                          sim_mean.value, sim_var.value)
             aff = pack_sim_affine(g, a, b, self.mode)
-            if use_lanes:
-                sv_l, sve_l = lanes_attn_core(
+            if use_flash or use_lanes:
+                core_l = flash_lanes_core if use_flash else lanes_attn_core
+                sv_l, sve_l = core_l(
                     to_lanes(q), to_lanes(k), to_lanes(v),
                     q_emb, jnp.swapaxes(k_emb, 1, 2), v_emb, aff)
                 sv, sve = from_lanes(sv_l), from_lanes(sve_l)

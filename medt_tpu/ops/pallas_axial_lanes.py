@@ -85,18 +85,22 @@ def _sve_lanes(sim, vemb):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref, aff_ref,
                 sv_ref, sve_ref, *, has_pos: bool):
-    g = q_ref.shape[0]
-    for grp in range(g):
-        aff = aff_ref[grp]
-        logits = _qk_lanes(q_ref[grp], k_ref[grp]) * aff[0] + aff[1]
-        if has_pos:
-            qr, kr = _pos_logits(q_ref[grp], k_ref[grp], qemb_ref[...],
-                                 kembt_ref[...])
-            logits = logits + (qr * aff[2] + aff[3]) + (kr * aff[4] + aff[5])
-        sim = _softmax_j(logits)
-        sv_ref[grp] = _sv_lanes(sim, v_ref[grp])
-        if has_pos:
-            sve_ref[grp] = _sve_lanes(sim, vemb_ref[...])
+    # one (group, stripe-block) per program: grid = (g, S // Sb). Per-program
+    # VMEM is ~g-times smaller than an all-groups body, which is what admits
+    # the wider-gp geometries and keeps Mosaic compile time low. The tiny
+    # (g, 8) affine stays fully resident (a (1, 8) block would violate the
+    # sublane tiling rule); each program reads its own row via pl.ds (a
+    # plain [i] with a traced index is a gather, which has no Mosaic rule).
+    aff = aff_ref[pl.ds(pl.program_id(0), 1), :][0]
+    logits = _qk_lanes(q_ref[0], k_ref[0]) * aff[0] + aff[1]
+    if has_pos:
+        qr, kr = _pos_logits(q_ref[0], k_ref[0], qemb_ref[...],
+                             kembt_ref[...])
+        logits = logits + (qr * aff[2] + aff[3]) + (kr * aff[4] + aff[5])
+    sim = _softmax_j(logits)
+    sv_ref[0] = _sv_lanes(sim, v_ref[0])
+    if has_pos:
+        sve_ref[0] = _sve_lanes(sim, vemb_ref[...])
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref, aff_ref,
@@ -104,117 +108,135 @@ def _bwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref, aff_ref,
                 dq_ref, dk_ref, dv_ref,
                 dqemb_ref, dkembt_ref, dvemb_ref, daff_ref,
                 *, has_pos: bool):
-    step = pl.program_id(0)
-    g = q_ref.shape[0]
-    daff_rows = []
-    for grp in range(g):
-        aff = aff_ref[grp]
-        q, k, v = q_ref[grp], k_ref[grp], v_ref[grp]
-        dsv = dsv_ref[grp]
-        c, gp = q.shape[0], v.shape[0]
+    """One (group, stripe-block) per program, grid = (g, S // Sb).
 
-        qk = _qk_lanes(q, k)
-        logits = qk * aff[0] + aff[1]
-        if has_pos:
-            qemb, kemb_t, vemb = qemb_ref[...], kembt_ref[...], vemb_ref[...]
-            qr, kr = _pos_logits(q, k, qemb, kemb_t)
-            logits = logits + (qr * aff[2] + aff[3]) + (kr * aff[4] + aff[5])
-        sim = _softmax_j(logits)
+    The table-gradient outputs use constant index maps, so their blocks stay
+    VMEM-resident across the whole grid and accumulate in place; the daff
+    block is constant along the inner (stripe) grid axis and accumulates
+    per group."""
+    gi = pl.program_id(0)
+    si = pl.program_id(1)
+    aff = aff_ref[pl.ds(gi, 1), :][0]
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    dsv = dsv_ref[0]
+    c, gp = q.shape[0], v.shape[0]
 
-        # dv[p, j, s] = sum_i dsv[p, i, s] sim[i, j, s]
-        dv_ref[grp] = jnp.stack(
-            [jnp.sum(dsv[p][:, None, :] * sim, axis=0) for p in range(gp)])
+    qk = _qk_lanes(q, k)
+    logits = qk * aff[0] + aff[1]
+    if has_pos:
+        qemb, kemb_t, vemb = qemb_ref[...], kembt_ref[...], vemb_ref[...]
+        qr, kr = _pos_logits(q, k, qemb, kemb_t)
+        logits = logits + (qr * aff[2] + aff[3]) + (kr * aff[4] + aff[5])
+    sim = _softmax_j(logits)
 
-        # dsim[i,j,s] = sum_p dsv[p,i,s] v[p,j,s] (+ sum_p dsve[p,i,s] vemb[p,i,j])
-        dsim = dsv[0][:, None, :] * v[0][None, :, :]
-        for p in range(1, gp):
-            dsim += dsv[p][:, None, :] * v[p][None, :, :]
-        if has_pos:
-            dsve = dsve_ref[grp]
-            for p in range(gp):
-                dsim += dsve[p][:, None, :] * vemb[p][:, :, None]
+    # dv[p, j, s] = sum_i dsv[p, i, s] sim[i, j, s]
+    dv_ref[0] = jnp.stack(
+        [jnp.sum(dsv[p][:, None, :] * sim, axis=0) for p in range(gp)])
 
-        # softmax backward over j
-        dlog = sim * (dsim - jnp.sum(sim * dsim, axis=1, keepdims=True))
+    # dsim[i,j,s] = sum_p dsv[p,i,s] v[p,j,s] (+ sum_p dsve[p,i,s] vemb[p,i,j])
+    dsim = dsv[0][:, None, :] * v[0][None, :, :]
+    for p in range(1, gp):
+        dsim += dsv[p][:, None, :] * v[p][None, :, :]
+    if has_pos:
+        dsve = dsve_ref[0]
+        for p in range(gp):
+            dsim += dsve[p][:, None, :] * vemb[p][:, :, None]
 
-        db = jnp.sum(dlog)
-        if has_pos:
-            daff_rows.append(jnp.stack(
-                [jnp.sum(dlog * qk), db, jnp.sum(dlog * qr), db,
-                 jnp.sum(dlog * kr), db,
-                 jnp.zeros((), _F32), jnp.zeros((), _F32)]))
-        else:
-            z = jnp.zeros((), _F32)
-            daff_rows.append(jnp.stack([jnp.sum(dlog * qk), db,
-                                        z, z, z, z, z, z]))
+    # softmax backward over j
+    dlog = sim * (dsim - jnp.sum(sim * dsim, axis=1, keepdims=True))
 
-        d_qk = dlog * aff[0]
-        # dq[c,i,s] = sum_j d_qk[i,j,s] k[c,j,s] (+ sum_j d_qr[i,j,s] qemb[c,i,j])
-        # dk[c,j,s] = sum_i d_qk[i,j,s] q[c,i,s] (+ sum_i d_kr[i,j,s] kemb_t[c,i,j])
-        if has_pos:
-            d_qr = dlog * aff[2]
-            d_kr = dlog * aff[4]
-            dq_ref[grp] = jnp.stack(
-                [jnp.sum(d_qk * k[ci][None, :, :], axis=1)
-                 + jnp.sum(d_qr * qemb[ci][:, :, None], axis=1)
-                 for ci in range(c)])
-            dk_ref[grp] = jnp.stack(
-                [jnp.sum(d_qk * q[ci][:, None, :], axis=0)
-                 + jnp.sum(d_kr * kemb_t[ci][:, :, None], axis=0)
-                 for ci in range(c)])
-            # table grads (summed over lanes s and, at step>0, the grid)
-            dqe = jnp.stack([jnp.sum(d_qr * q[ci][:, None, :], axis=2)
-                             for ci in range(c)])
-            dke = jnp.stack([jnp.sum(d_kr * k[ci][None, :, :], axis=2)
-                             for ci in range(c)])
-            dve = jnp.stack([jnp.sum(sim * dsve[p][:, None, :], axis=2)
-                             for p in range(gp)])
-            first = (step == 0) if grp == 0 else False
+    db = jnp.sum(dlog)
+    if has_pos:
+        daff = jnp.stack(
+            [jnp.sum(dlog * qk), db, jnp.sum(dlog * qr), db,
+             jnp.sum(dlog * kr), db,
+             jnp.zeros((), _F32), jnp.zeros((), _F32)])
+    else:
+        z = jnp.zeros((), _F32)
+        daff = jnp.stack([jnp.sum(dlog * qk), db, z, z, z, z, z, z])
 
-            @pl.when(first)
-            def _(dqe=dqe, dke=dke, dve=dve):
-                dqemb_ref[...] = dqe
-                dkembt_ref[...] = dke
-                dvemb_ref[...] = dve
-
-            @pl.when(jnp.logical_not(first))
-            def _(dqe=dqe, dke=dke, dve=dve):
-                dqemb_ref[...] = dqemb_ref[...] + dqe
-                dkembt_ref[...] = dkembt_ref[...] + dke
-                dvemb_ref[...] = dvemb_ref[...] + dve
-        else:
-            dq_ref[grp] = jnp.stack(
-                [jnp.sum(d_qk * k[ci][None, :, :], axis=1) for ci in range(c)])
-            dk_ref[grp] = jnp.stack(
-                [jnp.sum(d_qk * q[ci][:, None, :], axis=0) for ci in range(c)])
-
-    daff = jnp.stack(daff_rows)
-
-    @pl.when(step == 0)
+    @pl.when(jnp.logical_and(si == 0, gi == 0))
     def _():
-        daff_ref[...] = daff
+        daff_ref[...] = jnp.zeros_like(daff_ref)
 
-    @pl.when(step != 0)
-    def _():
-        daff_ref[...] = daff_ref[...] + daff
+    daff_ref[pl.ds(gi, 1), :] = daff_ref[pl.ds(gi, 1), :] + daff[None]
+
+    d_qk = dlog * aff[0]
+    # dq[c,i,s] = sum_j d_qk[i,j,s] k[c,j,s] (+ sum_j d_qr[i,j,s] qemb[c,i,j])
+    # dk[c,j,s] = sum_i d_qk[i,j,s] q[c,i,s] (+ sum_i d_kr[i,j,s] kemb_t[c,i,j])
+    if has_pos:
+        d_qr = dlog * aff[2]
+        d_kr = dlog * aff[4]
+        dq_ref[0] = jnp.stack(
+            [jnp.sum(d_qk * k[ci][None, :, :], axis=1)
+             + jnp.sum(d_qr * qemb[ci][:, :, None], axis=1)
+             for ci in range(c)])
+        dk_ref[0] = jnp.stack(
+            [jnp.sum(d_qk * q[ci][:, None, :], axis=0)
+             + jnp.sum(d_kr * kemb_t[ci][:, :, None], axis=0)
+             for ci in range(c)])
+        # table grads (tables shared across groups): accumulated over the
+        # ENTIRE grid in resident constant-index blocks
+        dqe = jnp.stack([jnp.sum(d_qr * q[ci][:, None, :], axis=2)
+                         for ci in range(c)])
+        dke = jnp.stack([jnp.sum(d_kr * k[ci][None, :, :], axis=2)
+                         for ci in range(c)])
+        dve = jnp.stack([jnp.sum(sim * dsve[p][:, None, :], axis=2)
+                         for p in range(gp)])
+        first = jnp.logical_and(gi == 0, si == 0)
+
+        @pl.when(first)
+        def _():
+            dqemb_ref[...] = dqe
+            dkembt_ref[...] = dke
+            dvemb_ref[...] = dve
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dqemb_ref[...] = dqemb_ref[...] + dqe
+            dkembt_ref[...] = dkembt_ref[...] + dke
+            dvemb_ref[...] = dvemb_ref[...] + dve
+    else:
+        dq_ref[0] = jnp.stack(
+            [jnp.sum(d_qk * k[ci][None, :, :], axis=1) for ci in range(c)])
+        dk_ref[0] = jnp.stack(
+            [jnp.sum(d_qk * q[ci][:, None, :], axis=0) for ci in range(c)])
+
+
+_VMEM_BUDGET = 6 << 20  # of the ~16MB/core; the estimates below measure
+# ~1.9x under Mosaic's true scoped allocation (spills, pipeline slack) on
+# the one case we drove to OOM, so ~6MB estimated targets ~11MB real
+
+
+def _per_lane_bytes(g: int, c: int, gp: int, L: int, bwd: bool) -> int:
+    """f32 bytes per lane of live per-PROGRAM state (x2 on the grid-blocked
+    arrays for Mosaic's double buffering, plus (L, L) working tiles).
+    One group per program — g does not enter."""
+    del g
+    if bwd:
+        # in: q,k,v,dsv,dsve; out: dq,dk,dv  -> 4c + 4gp channels
+        arrays = 2 * (4 * c + 4 * gp) * L
+        tiles = 12 * L * L
+    else:
+        # in: q,k,v; out: sv,sve  -> 2c + 3gp channels
+        arrays = 2 * (2 * c + 3 * gp) * L
+        tiles = 8 * L * L
+    return 4 * (arrays + tiles)
 
 
 def _pick_sblock(S: int, g: int, c: int, gp: int, L: int,
-                 budget_bytes: int = 3 << 20) -> int:
-    """Largest lane block that divides S within a VMEM budget.
+                 bwd: bool = False) -> int:
+    """Largest lane block that divides S within the VMEM budget, or 0.
 
     Mosaic requires the minor (lane) block dim be a multiple of 128 or the
     whole axis, so candidates are 128-multiples dividing S (S itself as the
-    fallback when no such divisor exists and S fits the budget).
-
-    Live per-program arrays: q/k/v/sv/sve blocks ((g, 2c+3gp, L, Sb)) plus a
-    handful of (L, L, Sb) working tiles."""
-    per_lane = 4 * (g * (2 * c + 3 * gp) * L + 8 * L * L)
-    cap = min(1024, budget_bytes // per_lane, S)
+    fallback when no such divisor exists and S fits the budget)."""
+    per_lane = _per_lane_bytes(g, c, gp, L, bwd)
+    cap = min(1024, _VMEM_BUDGET // per_lane, S)
     for Sb in range((cap // 128) * 128, 0, -128):
         if S % Sb == 0:
             return Sb
-    return S if S * per_lane <= budget_bytes else 0
+    return S if S * per_lane <= _VMEM_BUDGET else 0
 
 
 def _interpret_default(interpret: Optional[bool]) -> bool:
@@ -244,16 +266,17 @@ def _fwd(q, k, v, qemb, kemb_t, vemb, sim_affine, interpret=None):
     gp = v.shape[1]
     has_pos = qemb.shape[0] > 0
     Sb = _pick_sblock(S, g, c, gp, L)
-    grid = (S // Sb,)
-    qk_spec = pl.BlockSpec((g, c, L, Sb), lambda i: (0, 0, 0, i),
+    assert Sb >= 1, (S, g, c, gp, L)
+    grid = (g, S // Sb)
+    qk_spec = pl.BlockSpec((1, c, L, Sb), lambda gi, si: (gi, 0, 0, si),
                            memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((g, gp, L, Sb), lambda i: (0, 0, 0, i),
+    v_spec = pl.BlockSpec((1, gp, L, Sb), lambda gi, si: (gi, 0, 0, si),
                           memory_space=pltpu.VMEM)
-    cemb_spec = pl.BlockSpec((max(c, 1), L, L), lambda i: (0, 0, 0),
+    cemb_spec = pl.BlockSpec((max(c, 1), L, L), lambda gi, si: (0, 0, 0),
                              memory_space=pltpu.VMEM)
-    pemb_spec = pl.BlockSpec((max(gp, 1), L, L), lambda i: (0, 0, 0),
+    pemb_spec = pl.BlockSpec((max(gp, 1), L, L), lambda gi, si: (0, 0, 0),
                              memory_space=pltpu.VMEM)
-    aff_spec = pl.BlockSpec((g, 8), lambda i: (0, 0),
+    aff_spec = pl.BlockSpec((g, 8), lambda gi, si: (0, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((g, gp, L, S), _F32)
     if not has_pos:
@@ -261,7 +284,7 @@ def _fwd(q, k, v, qemb, kemb_t, vemb, sim_affine, interpret=None):
         qemb = jnp.zeros((1, L, L), _F32)
         kemb_t = jnp.zeros((1, L, L), _F32)
         vemb = jnp.zeros((1, L, L), _F32)
-        cemb_spec = pl.BlockSpec((1, L, L), lambda i: (0, 0, 0),
+        cemb_spec = pl.BlockSpec((1, L, L), lambda gi, si: (0, 0, 0),
                                  memory_space=pltpu.VMEM)
         pemb_spec = cemb_spec
     sv, sve = pl.pallas_call(
@@ -290,12 +313,13 @@ def _bwd_rule(residuals, grads, interpret=None):
     g, c, L, S = q.shape
     gp = v.shape[1]
     has_pos = qemb.shape[0] > 0
-    Sb = _pick_sblock(S, g, c, gp, L, budget_bytes=2 << 20)
-    grid = (S // Sb,)
+    Sb = _pick_sblock(S, g, c, gp, L, bwd=True)
+    assert Sb >= 1, (S, g, c, gp, L)
+    grid = (g, S // Sb)
 
-    qk_spec = pl.BlockSpec((g, c, L, Sb), lambda i: (0, 0, 0, i),
+    qk_spec = pl.BlockSpec((1, c, L, Sb), lambda gi, si: (gi, 0, 0, si),
                            memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((g, gp, L, Sb), lambda i: (0, 0, 0, i),
+    v_spec = pl.BlockSpec((1, gp, L, Sb), lambda gi, si: (gi, 0, 0, si),
                           memory_space=pltpu.VMEM)
     ce = max(c, 1) if has_pos else 1
     pe = max(gp, 1) if has_pos else 1
@@ -303,11 +327,11 @@ def _bwd_rule(residuals, grads, interpret=None):
         qemb = jnp.zeros((1, L, L), _F32)
         kemb_t = jnp.zeros((1, L, L), _F32)
         vemb = jnp.zeros((1, L, L), _F32)
-    cemb_spec = pl.BlockSpec((ce, L, L), lambda i: (0, 0, 0),
+    cemb_spec = pl.BlockSpec((ce, L, L), lambda gi, si: (0, 0, 0),
                              memory_space=pltpu.VMEM)
-    pemb_spec = pl.BlockSpec((pe, L, L), lambda i: (0, 0, 0),
+    pemb_spec = pl.BlockSpec((pe, L, L), lambda gi, si: (0, 0, 0),
                              memory_space=pltpu.VMEM)
-    aff_spec = pl.BlockSpec((g, 8), lambda i: (0, 0),
+    aff_spec = pl.BlockSpec((g, 8), lambda gi, si: (0, 0),
                             memory_space=pltpu.VMEM)
 
     dq, dk, dv, dqe, dke_t, dve, daff = pl.pallas_call(
@@ -343,6 +367,361 @@ LANES_ENABLED = True
 
 def lanes_supported(span: int, groups: int, gp: int, stripes: int) -> bool:
     """Admission: small spans only (the stripe-block kernel owns L >= 32),
-    lane axis long enough to fill tiles, everything fits the block budget."""
-    return LANES_ENABLED and span <= 16 and stripes >= 128 and _pick_sblock(
-        stripes, groups, max(gp // 2, 1), gp, span) >= 128
+    lane axis long enough to fill tiles, and BOTH the forward and backward
+    kernels fit the VMEM budget (the backward holds ~2x the live state; an
+    admission check on forward alone would crash the grad trace)."""
+    c = max(gp // 2, 1)
+    return (LANES_ENABLED and span <= 16 and stripes >= 128
+            and _pick_sblock(stripes, groups, c, gp, span) >= 128
+            and _pick_sblock(stripes, groups, c, gp, span, bwd=True) >= 128)
+
+
+# ---------------------------------------------------------------------------
+# streamed ("flash") variant for the mid spans (32..64)
+# ---------------------------------------------------------------------------
+#
+# At L >= 32 the plain lanes kernels' (L, L, Sb) tiles outgrow VMEM, and the
+# stripe-block kernels (ops/pallas_axial_train.py) pay tiny-MXU latency on
+# every c<=4-deep matmul — the profiled bottleneck of the whole train step
+# (span-64 bwd ~15.5 ms per op at b56). This variant keeps the stripe-lane
+# layout but STREAMS the key axis in Jb-blocks with an online softmax, so
+# the live tile is (L, Jb, Sb) and everything stays VPU broadcasts:
+#
+#   forward: running (max m, denom l) per (i, s); sv/sve accumulated with
+#     exp-rescaling; m and l emitted for the backward.
+#   backward: softmax probabilities are reconstructed per j-block directly
+#     from the saved (m, l) — no second online pass — and
+#     delta[i,s] = sum_j sim*dsim = sum_p dsv*sv + sum_p dsve*sve
+#     (both outputs are linear in sim), so dlog needs only the saved
+#     forward outputs.
+
+_JB_FWD = 16  # key-axis blocks: (L, Jb, Sb) f32 tiles; the backward holds
+# ~10 live tiles per j-step vs the forward's ~6, so it streams in smaller,
+# adaptively-chosen key blocks (8, then 4 for the widest geometries)
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref,
+                      aff_ref, sv_ref, sve_ref, m_ref, l_ref,
+                      *, has_pos: bool, L: int):
+    _JB = _JB_FWD
+    aff = aff_ref[pl.ds(pl.program_id(0), 1), :][0]
+    # read blocks fully into arrays first: partial slices with None on a
+    # deferred ref transform fail the Mosaic kernel trace
+    q, k, v = q_ref[...][0], k_ref[...][0], v_ref[...][0]
+    c, gp, Sb = q.shape[0], v.shape[0], q.shape[-1]
+    neg = jnp.full((L, 1, Sb), -1e30, _F32)
+    m = neg
+    l = jnp.zeros((L, 1, Sb), _F32)
+    sv_acc = [jnp.zeros((L, Sb), _F32) for _ in range(gp)]
+    sve_acc = [jnp.zeros((L, Sb), _F32) for _ in range(gp)]
+    for jb in range(L // _JB):
+        j0 = jb * _JB
+        # logits block (L, _JB, Sb)
+        lg = q[0][:, None, :] * k[0][j0:j0 + _JB, :][None]
+        for ci in range(1, c):
+            lg += q[ci][:, None, :] * k[ci][j0:j0 + _JB, :][None]
+        lg = lg * aff[0] + aff[1]
+        if has_pos:
+            qemb, kemb_t = qemb_ref[...], kembt_ref[...]
+            qr = q[0][:, None, :] * qemb[0][:, j0:j0 + _JB][:, :, None]
+            kr = k[0][j0:j0 + _JB, :][None] * kemb_t[0][:, j0:j0 + _JB][:, :, None]
+            for ci in range(1, c):
+                qr += q[ci][:, None, :] * qemb[ci][:, j0:j0 + _JB][:, :, None]
+                kr += (k[ci][j0:j0 + _JB, :][None]
+                       * kemb_t[ci][:, j0:j0 + _JB][:, :, None])
+            lg = lg + (qr * aff[2] + aff[3]) + (kr * aff[4] + aff[5])
+        m_new = jnp.maximum(m, jnp.max(lg, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_new)[:, 0, :]  # (L, Sb)
+        e = jnp.exp(lg - m_new)              # (L, _JB, Sb)
+        l = l * alpha[:, None, :] + jnp.sum(e, axis=1, keepdims=True)
+        for p in range(gp):
+            sv_acc[p] = (sv_acc[p] * alpha
+                         + jnp.sum(e * v[p][j0:j0 + _JB, :][None], axis=1))
+            if has_pos:
+                vemb = vemb_ref[...]
+                sve_acc[p] = (sve_acc[p] * alpha
+                              + jnp.sum(e * vemb[p][:, j0:j0 + _JB][:, :, None],
+                                        axis=1))
+        m = m_new
+    inv_l = 1.0 / l[:, 0, :]
+    sv_ref[0] = jnp.stack([a * inv_l for a in sv_acc])
+    if has_pos:
+        sve_ref[0] = jnp.stack([a * inv_l for a in sve_acc])
+    m_ref[0] = m[:, 0, :]
+    l_ref[0] = l[:, 0, :]
+
+
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref,
+                      aff_ref, m_ref, l_ref, sv_ref, sve_ref,
+                      dsv_ref, dsve_ref,
+                      dq_ref, dk_ref, dv_ref,
+                      dqemb_ref, dkembt_ref, dvemb_ref, daff_ref,
+                      *, has_pos: bool, L: int, jb_size: int):
+    _JB = jb_size
+    gi = pl.program_id(0)
+    si = pl.program_id(1)
+    aff = aff_ref[pl.ds(gi, 1), :][0]
+    q, k, v = q_ref[...][0], k_ref[...][0], v_ref[...][0]
+    c, gp, Sb = q.shape[0], v.shape[0], q.shape[-1]
+    m = m_ref[...][0][:, None, :]
+    inv_l = (1.0 / l_ref[...][0])[:, None, :]
+    dsv, dsve = dsv_ref[...][0], dsve_ref[...][0]
+    sv, sve = sv_ref[...][0], sve_ref[...][0]
+
+    # delta[i, s] = sum_j sim * dsim
+    delta = jnp.sum(dsv * sv, axis=0)
+    if has_pos:
+        delta = delta + jnp.sum(dsve * sve, axis=0)
+    delta = delta[:, None, :]  # (L, 1, Sb)
+
+    dq_acc = [jnp.zeros((L, Sb), _F32) for _ in range(c)]
+    d_qk_sum = jnp.zeros((), _F32)
+    d_qr_sum = jnp.zeros((), _F32)
+    d_kr_sum = jnp.zeros((), _F32)
+    db = jnp.zeros((), _F32)
+    if has_pos:
+        qemb, kemb_t, vemb = qemb_ref[...], kembt_ref[...], vemb_ref[...]
+    for jb in range(L // _JB):
+        j0 = jb * _JB
+        qk = q[0][:, None, :] * k[0][j0:j0 + _JB, :][None]
+        for ci in range(1, c):
+            qk += q[ci][:, None, :] * k[ci][j0:j0 + _JB, :][None]
+        lg = qk * aff[0] + aff[1]
+        if has_pos:
+            qr = q[0][:, None, :] * qemb[0][:, j0:j0 + _JB][:, :, None]
+            kr = k[0][j0:j0 + _JB, :][None] * kemb_t[0][:, j0:j0 + _JB][:, :, None]
+            for ci in range(1, c):
+                qr += q[ci][:, None, :] * qemb[ci][:, j0:j0 + _JB][:, :, None]
+                kr += (k[ci][j0:j0 + _JB, :][None]
+                       * kemb_t[ci][:, j0:j0 + _JB][:, :, None])
+            lg = lg + (qr * aff[2] + aff[3]) + (kr * aff[4] + aff[5])
+        sim = jnp.exp(lg - m) * inv_l  # (L, _JB, Sb)
+
+        # dsim = sum_p dsv[p,i,s] v[p,j,s] (+ sum_p dsve[p,i,s] vemb[p,i,j])
+        dsim = dsv[0][:, None, :] * v[0][j0:j0 + _JB, :][None]
+        for p in range(1, gp):
+            dsim += dsv[p][:, None, :] * v[p][j0:j0 + _JB, :][None]
+        if has_pos:
+            for p in range(gp):
+                dsim += dsve[p][:, None, :] * vemb[p][:, j0:j0 + _JB][:, :, None]
+
+        dlog = sim * (dsim - delta)
+        db += jnp.sum(dlog)
+        d_qk_sum += jnp.sum(dlog * qk)
+        d_qk = dlog * aff[0]
+        if has_pos:
+            d_qr_sum += jnp.sum(dlog * qr)
+            d_kr_sum += jnp.sum(dlog * kr)
+            d_qr = dlog * aff[2]
+            d_kr = dlog * aff[4]
+
+        # dv[p, j, s] = sum_i dsv[p,i,s] sim[i,j,s]  (write this j-slice)
+        dv_ref[0, :, j0:j0 + _JB, :] = jnp.stack(
+            [jnp.sum(dsv[p][:, None, :] * sim, axis=0) for p in range(gp)])
+        # dk[c, j, s] = sum_i d_qk q[c,i,s] (+ sum_i d_kr kemb_t[c,i,j])
+        if has_pos:
+            dk_ref[0, :, j0:j0 + _JB, :] = jnp.stack(
+                [jnp.sum(d_qk * q[ci][:, None, :], axis=0)
+                 + jnp.sum(d_kr * kemb_t[ci][:, j0:j0 + _JB][:, :, None], axis=0)
+                 for ci in range(c)])
+        else:
+            dk_ref[0, :, j0:j0 + _JB, :] = jnp.stack(
+                [jnp.sum(d_qk * q[ci][:, None, :], axis=0)
+                 for ci in range(c)])
+        # dq accumulation over j-blocks
+        for ci in range(c):
+            t = jnp.sum(d_qk * k[ci][j0:j0 + _JB, :][None], axis=1)
+            if has_pos:
+                t += jnp.sum(d_qr * qemb[ci][:, j0:j0 + _JB][:, :, None], axis=1)
+            dq_acc[ci] = dq_acc[ci] + t
+
+        if has_pos:
+            # table grads for this j-slice, accumulated over the grid
+            dqe = jnp.stack([jnp.sum(d_qr * q[ci][:, None, :], axis=2)
+                             for ci in range(c)])
+            dke = jnp.stack([jnp.sum(d_kr * k[ci][j0:j0 + _JB, :][None],
+                                     axis=2) for ci in range(c)])
+            dve = jnp.stack([jnp.sum(sim * dsve[p][:, None, :], axis=2)
+                             for p in range(gp)])
+            first = jnp.logical_and(gi == 0, si == 0)
+
+            @pl.when(first)
+            def _(dqe=dqe, dke=dke, dve=dve, j0=j0):
+                dqemb_ref[:, :, j0:j0 + _JB] = dqe
+                dkembt_ref[:, :, j0:j0 + _JB] = dke
+                dvemb_ref[:, :, j0:j0 + _JB] = dve
+
+            @pl.when(jnp.logical_not(first))
+            def _(dqe=dqe, dke=dke, dve=dve, j0=j0):
+                dqemb_ref[:, :, j0:j0 + _JB] = (
+                    dqemb_ref[:, :, j0:j0 + _JB] + dqe)
+                dkembt_ref[:, :, j0:j0 + _JB] = (
+                    dkembt_ref[:, :, j0:j0 + _JB] + dke)
+                dvemb_ref[:, :, j0:j0 + _JB] = (
+                    dvemb_ref[:, :, j0:j0 + _JB] + dve)
+
+    dq_ref[0] = jnp.stack(dq_acc)
+
+    if has_pos:
+        daff = jnp.stack([d_qk_sum, db, d_qr_sum, db, d_kr_sum, db,
+                          jnp.zeros((), _F32), jnp.zeros((), _F32)])
+    else:
+        z = jnp.zeros((), _F32)
+        daff = jnp.stack([d_qk_sum, db, z, z, z, z, z, z])
+
+    @pl.when(jnp.logical_and(si == 0, gi == 0))
+    def _():
+        daff_ref[...] = jnp.zeros_like(daff_ref)
+
+    daff_ref[pl.ds(gi, 1), :] = daff_ref[pl.ds(gi, 1), :] + daff[None]
+
+
+def _flash_pick_sblock(S: int, c: int, gp: int, L: int,
+                       jb: int = _JB_FWD, bwd: bool = False) -> int:
+    """Lane block for the streamed kernels: live tiles are (L, jb, Sb)."""
+    arrays = 2 * (2 * c + 3 * gp) * L + 4 * L  # + m, l, sv, sve rows
+    if bwd:
+        arrays = 2 * (4 * c + 6 * gp) * L + 8 * L
+    tiles = (10 if bwd else 6) * L * jb + 4 * L
+    per_lane = 4 * (arrays + tiles)
+    cap = min(512, _VMEM_BUDGET // per_lane, S)
+    for Sb in range((cap // 128) * 128, 0, -128):
+        if S % Sb == 0:
+            return Sb
+    return S if S * per_lane <= _VMEM_BUDGET else 0
+
+
+def _flash_pick_bwd(S: int, c: int, gp: int, L: int):
+    """(Sb, jb) for the backward: largest key block whose lane block fits."""
+    for jb in (8, 4):
+        if L % jb:
+            continue
+        Sb = _flash_pick_sblock(S, c, gp, L, jb=jb, bwd=True)
+        if Sb >= 128:
+            return Sb, jb
+    return 0, 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def flash_lanes_core(q, k, v, qemb, kemb_t, vemb, sim_affine):
+    """Streamed-key lanes attention for spans 32..64; same contract as
+    ``lanes_attn_core``."""
+    sv, sve, _, _ = _flash_fwd(q, k, v, qemb, kemb_t, vemb, sim_affine)
+    return sv, sve
+
+
+def _flash_fwd(q, k, v, qemb, kemb_t, vemb, sim_affine, interpret=None):
+    interpret = _interpret_default(interpret)
+    g, c, L, S = q.shape
+    gp = v.shape[1]
+    has_pos = qemb.shape[0] > 0
+    Sb = _flash_pick_sblock(S, c, gp, L, jb=_JB_FWD, bwd=False)
+    assert Sb >= 1, (S, g, c, gp, L)
+    grid = (g, S // Sb)
+    qk_spec = pl.BlockSpec((1, c, L, Sb), lambda gi, si: (gi, 0, 0, si),
+                           memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, gp, L, Sb), lambda gi, si: (gi, 0, 0, si),
+                          memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, L, Sb), lambda gi, si: (gi, 0, si),
+                            memory_space=pltpu.VMEM)
+    ce = max(c, 1) if has_pos else 1
+    pe = max(gp, 1) if has_pos else 1
+    if not has_pos:
+        qemb = jnp.zeros((1, L, L), _F32)
+        kemb_t = jnp.zeros((1, L, L), _F32)
+        vemb = jnp.zeros((1, L, L), _F32)
+    cemb_spec = pl.BlockSpec((ce, L, L), lambda gi, si: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    pemb_spec = pl.BlockSpec((pe, L, L), lambda gi, si: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    aff_spec = pl.BlockSpec((g, 8), lambda gi, si: (0, 0),
+                            memory_space=pltpu.VMEM)
+    sv, sve, m, l = pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, has_pos=has_pos, L=L),
+        grid=grid,
+        in_specs=[qk_spec, qk_spec, v_spec, cemb_spec, cemb_spec, pemb_spec,
+                  aff_spec],
+        out_specs=(v_spec, v_spec, row_spec, row_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, gp, L, S), _F32),
+            jax.ShapeDtypeStruct((g, gp, L, S), _F32),
+            jax.ShapeDtypeStruct((g, L, S), _F32),
+            jax.ShapeDtypeStruct((g, L, S), _F32),
+        ),
+        interpret=interpret,
+    )(q, k, v, qemb, kemb_t, vemb, sim_affine)
+    if not has_pos:
+        sve = jnp.zeros_like(sv)
+    return sv, sve, m, l
+
+
+def _flash_fwd_rule(q, k, v, qemb, kemb_t, vemb, sim_affine):
+    sv, sve, m, l = _flash_fwd(q, k, v, qemb, kemb_t, vemb, sim_affine)
+    return (sv, sve), (q, k, v, qemb, kemb_t, vemb, sim_affine, m, l, sv, sve)
+
+
+def _flash_bwd_rule(residuals, grads, interpret=None):
+    q, k, v, qemb, kemb_t, vemb, sim_affine, m, l, sv, sve = residuals
+    dsv, dsve = grads
+    interpret = _interpret_default(interpret)
+    g, c, L, S = q.shape
+    gp = v.shape[1]
+    has_pos = qemb.shape[0] > 0
+    Sb, jb_size = _flash_pick_bwd(S, c, gp, L)
+    assert Sb >= 1, (S, g, c, gp, L)
+    grid = (g, S // Sb)
+    qk_spec = pl.BlockSpec((1, c, L, Sb), lambda gi, si: (gi, 0, 0, si),
+                           memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, gp, L, Sb), lambda gi, si: (gi, 0, 0, si),
+                          memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, L, Sb), lambda gi, si: (gi, 0, si),
+                            memory_space=pltpu.VMEM)
+    ce = max(c, 1) if has_pos else 1
+    pe = max(gp, 1) if has_pos else 1
+    if not has_pos:
+        qemb = jnp.zeros((1, L, L), _F32)
+        kemb_t = jnp.zeros((1, L, L), _F32)
+        vemb = jnp.zeros((1, L, L), _F32)
+    cemb_spec = pl.BlockSpec((ce, L, L), lambda gi, si: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    pemb_spec = pl.BlockSpec((pe, L, L), lambda gi, si: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    aff_spec = pl.BlockSpec((g, 8), lambda gi, si: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq, dk, dv, dqe, dke_t, dve, daff = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, has_pos=has_pos, L=L,
+                          jb_size=jb_size),
+        grid=grid,
+        in_specs=[qk_spec, qk_spec, v_spec, cemb_spec, cemb_spec, pemb_spec,
+                  aff_spec, row_spec, row_spec, v_spec, v_spec,
+                  v_spec, v_spec],
+        out_specs=(qk_spec, qk_spec, v_spec, cemb_spec, cemb_spec, pemb_spec,
+                   aff_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, c, L, S), _F32),
+            jax.ShapeDtypeStruct((g, c, L, S), _F32),
+            jax.ShapeDtypeStruct((g, gp, L, S), _F32),
+            jax.ShapeDtypeStruct((ce, L, L), _F32),
+            jax.ShapeDtypeStruct((ce, L, L), _F32),
+            jax.ShapeDtypeStruct((pe, L, L), _F32),
+            jax.ShapeDtypeStruct((g, 8), _F32),
+        ),
+        interpret=interpret,
+    )(q, k, v, qemb, kemb_t, vemb, sim_affine, m, l, sv, sve, dsv, dsve)
+    if not has_pos:
+        zc = jnp.zeros((0, L, L), _F32)
+        return dq, dk, dv, zc, zc, jnp.zeros((0, L, L), _F32), daff
+    return dq, dk, dv, dqe, dke_t, dve, daff
+
+
+flash_lanes_core.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def flash_supported(span: int, groups: int, gp: int, stripes: int) -> bool:
+    """Streamed-lanes admission: mid spans, Jb-divisible, enough stripes."""
+    c = max(gp // 2, 1)
+    return (LANES_ENABLED and 16 < span <= 64 and span % _JB_FWD == 0
+            and stripes >= 128
+            and _flash_pick_sblock(stripes, c, gp, span) >= 128
+            and _flash_pick_bwd(stripes, c, gp, span)[0] >= 128)

@@ -193,6 +193,40 @@ def test_lanes_eval_matches_jnp(mode):
                                atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.parametrize("mode", ["gated", "wopos"])
+def test_flash_train_matches_jnp(mode):
+    """Key-streamed ("flash") lanes kernel: spans 32..64 with enough stripes
+    route through flash_lanes_core; outputs/grads/stats must match the XLA
+    path exactly (f32 interpret)."""
+    import medt_tpu.ops.pallas_axial_lanes as lk
+
+    calls = {}
+    orig = lk.flash_lanes_core
+
+    def wrapped(*a, **kw):
+        calls["n"] = calls.get("n", 0) + 1
+        return orig(*a, **kw)
+
+    lk.flash_lanes_core = wrapped
+    try:
+        # n=4 x m=32 = 128 stripes, span 32 -> flash admission
+        ((l1, (o1, s1)), g1), ((l2, (o2, s2)), g2) = _train_pair(
+            mode, out_planes=16, groups=8, span=32, n=4)
+    finally:
+        lk.flash_lanes_core = orig
+    assert calls.get("n", 0) >= 1, "flash kernel was not invoked"
+    np.testing.assert_allclose(float(l1), float(l2), atol=1e-5)
+    # online-softmax accumulation order drifts a few ulps vs the direct
+    # softmax (observed max rel ~3e-5); keep a slightly wider output gate
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=5e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 @pytest.mark.parametrize("mode", ["gated", "full", "wopos", "gated_sig"])
 def test_lanes_train_matches_jnp(mode):
     """Stripe-LANE small-span kernel (ops/pallas_axial_lanes.py): at spans
