@@ -10,7 +10,12 @@ materializes the (S, g, L, L) logits/softmax chain in HBM (hundreds of MB
 per layer at batch 56 — the measured throughput ceiling of the whole model).
 
 This module's kernels transpose the problem instead: the huge stripe axis S
-lives on the LANES, the tiny span L on sublanes. Every elementwise op and
+lives on the LANES, the span L on sublanes. Two families share the layout:
+the plain kernels below for spans 2..16 (whole (L, L, Sb) tile live), and
+the key-streamed "flash" variants at the bottom of the file for spans
+32..64 (online softmax over (L, Jb, Sb) key blocks — these replaced the
+stripe-block kernels of ops/pallas_axial_train.py at mid spans, whose
+c<=4-deep matmuls left the MXU ~99% idle). Every elementwise op and
 reduction then runs on fully-utilized (L, L, Sb) tiles, the L x L attention
 matrix per stripe is built by VPU broadcasts (no MXU needed — contraction
 depths c <= 16 at these widths), and the whole qk -> affine -> softmax ->
