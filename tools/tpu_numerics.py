@@ -100,10 +100,14 @@ def fused_eval_checks():
 def fused_train_checks():
     from medt_tpu.ops import AxialAttention
 
-    for mode, span in [("gated", 64), ("wopos", 32)]:
+    # n chosen so the lanes kernels' stripe admission (>=128) is exercised:
+    # span 64/32 route through the key-streamed flash kernels, span 16
+    # through the plain stripe-lane kernels
+    for mode, span, n in [("gated", 64, 2), ("wopos", 32, 4),
+                          ("gated", 16, 8)]:
         rng = np.random.default_rng(1)
-        x = jnp.asarray(rng.normal(size=(2, span, span, 6)).astype(np.float32))
-        tgt = jnp.asarray(rng.normal(size=(2, span, span, 16)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(n, span, span, 6)).astype(np.float32))
+        tgt = jnp.asarray(rng.normal(size=(n, span, span, 16)).astype(np.float32))
         kw = dict(in_planes=6, out_planes=16, span=span, groups=8, mode=mode)
         op_ref = AxialAttention(use_fused=False, **kw)
         op_fus = AxialAttention(use_fused=True, **kw)
