@@ -724,9 +724,20 @@ flash_lanes_core.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 def flash_supported(span: int, groups: int, gp: int, stripes: int) -> bool:
-    """Streamed-lanes admission: mid spans, Jb-divisible, enough stripes."""
+    """Streamed-lanes admission: mid spans, Jb-divisible, enough stripes.
+
+    The ``gp * span <= 256`` gate is EMPIRICAL: at (gp=8, span=64) the
+    forward's real scoped-VMEM allocation measures 26.96 MB against the
+    16 MB limit (Mosaic stack OOM at compile time) while the analytic
+    estimate is ~5.5 MB — the unrolled key loop's live accumulators scale
+    with gp in a way the per-lane model underpredicts. Every live-model
+    flash geometry satisfies the gate ((gp=4, span=64) and (gp=8,
+    span=32) both compile and run); beyond it the op falls back to the
+    stripe-block kernel (ops/pallas_axial_train.py), which handles wide
+    gp at mid spans fine."""
     c = max(gp // 2, 1)
     return (LANES_ENABLED and 16 < span <= 64 and span % _JB_FWD == 0
+            and gp * span <= 256
             and stripes >= 128
             and _flash_pick_sblock(stripes, c, gp, span) >= 128
             and _flash_pick_bwd(stripes, c, gp, span)[0] >= 128)

@@ -268,3 +268,15 @@ def test_fused_train_layer_geometry_gp2():
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_flash_admission_rejects_wide_gp_at_span64():
+    """(gp=8, span=64) OOMs real scoped VMEM (measured 26.96M vs the 16M
+    limit) despite passing the analytic estimate — the admission gate must
+    reject it so the op falls back to the stripe-block kernel. The
+    live-model flash geometries stay admitted."""
+    from medt_tpu.ops.pallas_axial_lanes import flash_supported
+
+    assert not flash_supported(64, 8, 8, 3584)   # the measured-OOM geometry
+    assert flash_supported(64, 8, 4, 3584)       # MedT glob L1
+    assert flash_supported(32, 8, 8, 1792)       # MedT glob L2
