@@ -56,6 +56,12 @@ class Config:
     dp: Optional[int] = None
     sp: Optional[int] = None
     tp: Optional[int] = None
+    # serving (cli/serve.py)
+    port: int = 8900
+    # backend override: the sandbox preimports jax with its own platform and
+    # scrubs JAX_PLATFORMS, so CPU-forcing must happen via jax.config — this
+    # flag is the CLI surface for it (e.g. --platform cpu for host-only runs)
+    platform: Optional[str] = None
 
     @property
     def imgchan(self) -> int:
@@ -98,5 +104,12 @@ def parse_config(argv=None, description: str = "medt_tpu") -> Config:
     parser = argparse.ArgumentParser(description=description)
     add_args(parser)
     ns = parser.parse_args(argv)
-    return Config(**{f.name: getattr(ns, f.name)
-                     for f in dataclasses.fields(Config)})
+    cfg = Config(**{f.name: getattr(ns, f.name)
+                    for f in dataclasses.fields(Config)})
+    if cfg.platform:
+        import jax
+
+        # must land before any backend initialization; env-var routes are
+        # scrubbed by the sandbox (see Config.platform)
+        jax.config.update("jax_platforms", cfg.platform)
+    return cfg

@@ -57,9 +57,30 @@ def restore_checkpoint(path: str, state, *, with_optimizer: bool = True):
             saved_keys = set(probe.metadata(path).item_metadata.tree.keys())
     except Exception:
         saved_keys = {"params", "batch_stats", "step", "opt_state"}
-    with ocp.StandardCheckpointer() as ckptr:
-        template = _ckpt_tree(state, with_optimizer="opt_state" in saved_keys)
-        restored = ckptr.restore(path, template)
+    # opt_state goes in the template only when the caller wants it AND the
+    # checkpoint has it; when the checkpoint has one the caller does NOT
+    # want, restore partially — inference callers must be able to restore
+    # into a state built with a different optimizer than training used
+    want_opt = with_optimizer and "opt_state" in saved_keys
+    template = _ckpt_tree(state, with_optimizer=want_opt)
+    if not want_opt and "opt_state" in saved_keys:
+        # the checkpoint carries an opt_state the caller does not want —
+        # restore only the template's subtrees (PyTreeRestore with empty
+        # transforms drops unmatched checkpoint keys), so inference can
+        # restore into a state built with a DIFFERENT optimizer than
+        # training used
+        restore_args = jax.tree_util.tree_map(
+            lambda t: ocp.ArrayRestoreArgs(sharding=t.sharding)
+            if hasattr(t, "sharding") else ocp.RestoreArgs(),
+            template)
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(
+                path, args=ocp.args.PyTreeRestore(
+                    item=template, transforms={},
+                    restore_args=restore_args))
+    else:
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(path, template)
     # re-place restored arrays on the live state's shardings (restore may
     # land everything on one device while the state is mesh-sharded)
     restored = jax.tree_util.tree_map(

@@ -1,0 +1,119 @@
+"""Serving engine + HTTP endpoint.
+
+The reference has no serving surface; these tests pin the framework's:
+fixed-shape batching (padding semantics), dynamic micro-batching
+(concurrent submits coalesce, results route back to the right caller),
+sliding-window routing for oversized inputs, and the PNG-in/PNG-out HTTP
+contract of cli/serve.py.
+"""
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import jax
+import pytest
+
+from medt_tpu.serving import InferenceEngine
+
+SIZE = 32
+BATCH = 4
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from medt_tpu.models import build_model
+
+    model = build_model("axialunet", img_size=SIZE)
+    x = np.zeros((1, SIZE, SIZE, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    eng = InferenceEngine("axialunet", SIZE, variables=variables,
+                          batch_size=BATCH, max_wait_ms=20.0)
+    yield eng
+    eng.stop()
+
+
+def _img(seed):
+    return np.random.default_rng(seed).integers(
+        0, 255, size=(SIZE, SIZE, 3)).astype(np.uint8)
+
+
+def test_predict_batch_pads_partial_batches(engine):
+    imgs = [_img(i) for i in range(BATCH + 2)]  # full batch + partial
+    masks = engine.predict_batch(imgs)
+    assert len(masks) == len(imgs)
+    for m in masks:
+        assert m.shape == (SIZE, SIZE)
+        assert set(np.unique(m)).issubset({0, 1})
+    # a partial chunk must score identically to the same image run alone
+    solo = engine.predict_batch([imgs[-1]])[0]
+    np.testing.assert_array_equal(masks[-1], solo)
+
+
+def test_predict_batch_rejects_wrong_shape(engine):
+    with pytest.raises(ValueError):
+        engine.predict_batch([np.zeros((SIZE * 2, SIZE, 3), np.uint8)])
+
+
+def test_uint8_matches_float(engine):
+    """On-device /255 normalization == host-side to_float01."""
+    img = _img(7)
+    m_u8 = engine.predict_batch([img])[0]
+    m_f32 = engine.predict_batch([img.astype(np.float32) / 255.0])[0]
+    np.testing.assert_array_equal(m_u8, m_f32)
+
+
+def test_sliding_window_route(engine):
+    big = np.random.default_rng(3).integers(
+        0, 255, size=(SIZE * 2, SIZE + 8, 3)).astype(np.uint8)
+    mask = engine.predict(big)
+    assert mask.shape == big.shape[:2]
+    assert set(np.unique(mask)).issubset({0, 1})
+
+
+def test_dynamic_batching_coalesces(engine):
+    engine.start()
+    before = engine.batches_run
+    imgs = [_img(i) for i in range(BATCH)]
+    futs = [engine.submit(im) for im in imgs]
+    results = [f.result(timeout=60) for f in futs]
+    # every caller gets its own image's mask (routing, not just completion)
+    expected = engine.predict_batch(imgs)
+    for got, want in zip(results, expected):
+        np.testing.assert_array_equal(got, want)
+    # 4 concurrent submits must NOT have run as 4 separate batches
+    assert engine.batches_run - before <= 3
+
+
+def test_http_endpoint(engine, tmp_path):
+    from PIL import Image
+
+    from medt_tpu.cli.serve import make_server
+
+    server = make_server(engine, 0)  # ephemeral port
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # healthz
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+
+        # PNG in -> PNG mask out
+        img = _img(11)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+            headers={"Content-Type": "image/png"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = np.asarray(Image.open(io.BytesIO(r.read())))
+        assert out.shape == (SIZE, SIZE)
+        expected = engine.predict_batch([img])[0] * 255
+        np.testing.assert_array_equal(out, expected)
+    finally:
+        server.shutdown()
+        t.join()

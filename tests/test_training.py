@@ -98,3 +98,26 @@ def test_checkpoint_without_optimizer_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(restored.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_restore_into_different_optimizer_state(tmp_path):
+    """Inference must be able to restore params/stats from a checkpoint
+    SAVED WITH an optimizer into a state built with a different one
+    (regression: the with_optimizer=False template still carried the
+    caller's opt_state, so an sgd-built state could not read an adam
+    checkpoint — caught by driving cli/serve.py against a real run)."""
+    import optax
+
+    from medt_tpu.training.checkpointing import (restore_checkpoint,
+                                                 save_checkpoint)
+
+    model = build_model("axialunet", img_size=32)
+    state = init_state(model, adam_l2(1e-3), (1, 32, 32, 3))
+    save_checkpoint(str(tmp_path), "0", state, also_final=False)  # has adam
+    blank = init_state(model, optax.sgd(0.0), (1, 32, 32, 3),
+                       rng=jax.random.PRNGKey(7))
+    restored = restore_checkpoint(str(tmp_path / "0"), blank,
+                                  with_optimizer=False)
+    for x, y in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
