@@ -60,6 +60,8 @@ def main(argv=None):
     p.add_argument("--n_train", type=int, default=16)
     p.add_argument("--n_val", type=int, default=8)
     p.add_argument("--outdir", default="")
+    p.add_argument("--data_seed", type=int, default=0,
+                   help="offset for the synthetic dataset seeds (study replicas)")
     args = p.parse_args(argv)
 
     from medt_tpu.data.synthetic import make_png_dataset
@@ -69,9 +71,9 @@ def main(argv=None):
     root = args.outdir or tempfile.mkdtemp(prefix="bf16_study_")
     train_dir = make_png_dataset(os.path.join(root, "train"),
                                  n=args.n_train, img_size=args.imgsize,
-                                 seed=0)
+                                 seed=args.data_seed)
     val_dir = make_png_dataset(os.path.join(root, "val"), n=args.n_val,
-                               img_size=args.imgsize, seed=1)
+                               img_size=args.imgsize, seed=args.data_seed + 1)
 
     results = [run_arm(d, train_dir, val_dir, root, args)
                for d in ("float32", "bfloat16")]
