@@ -203,7 +203,7 @@ class AxialAttention(nn.Module):
             self.use_fused and train and not self.is_initializing()
             and self.mode in (MODE_FULL, MODE_GATED, MODE_WOPOS,
                               MODE_GATED_SIG)
-            and span <= 128
+            and span <= 256  # 129..256 admitted per-shape by flash2 below
         )
         from .pallas_axial_lanes import flash_supported, lanes_supported
 
@@ -282,6 +282,8 @@ class AxialAttention(nn.Module):
         affine folds the *running* statistics instead and no stats update.
         """
         from .pallas_axial_lanes import (
+            flash2_lanes_core,
+            flash2_supported,
             flash_lanes_core,
             flash_supported,
             lanes_attn_core,
@@ -314,9 +316,14 @@ class AxialAttention(nn.Module):
         # stripe-block kernel as the mid/large-span fallback, and XLA
         # einsums when nothing admits the shape
         use_flash = flash_supported(span, g, gp, S)
-        use_kernel = (not use_flash and span >= FUSED_TRAIN_MIN_SPAN
+        # query-streamed variant for the spans plain flash can't hold
+        # (96..256 — the 512px models' global branch, which otherwise
+        # falls back to XLA's HBM-resident logits chain)
+        use_flash2 = (not use_flash and flash2_supported(span, g, gp, S))
+        use_kernel = (not use_flash and not use_flash2
+                      and span >= FUSED_TRAIN_MIN_SPAN
                       and fused_train_supported(span, g, gp))
-        use_lanes = (not use_flash and not use_kernel
+        use_lanes = (not use_flash and not use_flash2 and not use_kernel
                      and lanes_supported(span, g, gp, S))
 
         def to_lanes(t):  # (S, g, x, L) -> (g, x, L, S)
@@ -334,8 +341,10 @@ class AxialAttention(nn.Module):
                 a, b = fold_train_affine(sim_scale, sim_bias,
                                          sim_mean.value, sim_var.value)
             aff = pack_sim_affine(g, a, b, "wopos")
-            if use_flash or use_lanes:
-                core_l = flash_lanes_core if use_flash else lanes_attn_core
+            if use_flash or use_flash2 or use_lanes:
+                core_l = (flash_lanes_core if use_flash
+                          else flash2_lanes_core if use_flash2
+                          else lanes_attn_core)
                 empty = jnp.zeros((0, L, L), jnp.float32)
                 sv_l, _ = core_l(to_lanes(q), to_lanes(k), to_lanes(v),
                                  empty, empty, empty, aff)
@@ -371,8 +380,10 @@ class AxialAttention(nn.Module):
                 a, b = fold_train_affine(sim_scale, sim_bias,
                                          sim_mean.value, sim_var.value)
             aff = pack_sim_affine(g, a, b, self.mode)
-            if use_flash or use_lanes:
-                core_l = flash_lanes_core if use_flash else lanes_attn_core
+            if use_flash or use_flash2 or use_lanes:
+                core_l = (flash_lanes_core if use_flash
+                          else flash2_lanes_core if use_flash2
+                          else lanes_attn_core)
                 sv_l, sve_l = core_l(
                     to_lanes(q), to_lanes(k), to_lanes(v),
                     q_emb, jnp.swapaxes(k_emb, 1, 2), v_emb, aff)

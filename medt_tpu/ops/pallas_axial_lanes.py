@@ -407,18 +407,26 @@ _JB_FWD = 16  # key-axis blocks: (L, Jb, Sb) f32 tiles; the backward holds
 
 def _flash_fwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref,
                       aff_ref, sv_ref, sve_ref, m_ref, l_ref,
-                      *, has_pos: bool, L: int):
-    _JB = _JB_FWD
+                      *, has_pos: bool, L: int, jb_size: int = _JB_FWD):
+    """Online-softmax forward over key blocks.
+
+    Query rows come from the q block's own extent, so the same body serves
+    the whole-span wrapper (`_flash_fwd`: q rows == L) and the
+    query-streamed wrapper for large spans (`_flash2_fwd`: q rows == Ib,
+    grid also blocks the query axis). ``L`` is the KEY length; the
+    per-block table slices are (·, q-rows, L)."""
+    _JB = jb_size
     aff = aff_ref[pl.ds(pl.program_id(0), 1), :][0]
     # read blocks fully into arrays first: partial slices with None on a
     # deferred ref transform fail the Mosaic kernel trace
     q, k, v = q_ref[...][0], k_ref[...][0], v_ref[...][0]
     c, gp, Sb = q.shape[0], v.shape[0], q.shape[-1]
-    neg = jnp.full((L, 1, Sb), -1e30, _F32)
+    Lq = q.shape[1]
+    neg = jnp.full((Lq, 1, Sb), -1e30, _F32)
     m = neg
-    l = jnp.zeros((L, 1, Sb), _F32)
-    sv_acc = [jnp.zeros((L, Sb), _F32) for _ in range(gp)]
-    sve_acc = [jnp.zeros((L, Sb), _F32) for _ in range(gp)]
+    l = jnp.zeros((Lq, 1, Sb), _F32)
+    sv_acc = [jnp.zeros((Lq, Sb), _F32) for _ in range(gp)]
+    sve_acc = [jnp.zeros((Lq, Sb), _F32) for _ in range(gp)]
     for jb in range(L // _JB):
         j0 = jb * _JB
         # logits block (L, _JB, Sb)
@@ -741,3 +749,460 @@ def flash_supported(span: int, groups: int, gp: int, stripes: int) -> bool:
             and stripes >= 128
             and _flash_pick_sblock(stripes, c, gp, span) >= 128
             and _flash_pick_bwd(stripes, c, gp, span)[0] >= 128)
+
+
+
+# ---------------------------------------------------------------------------
+# query+key streamed ("flash2") variant for LARGE spans (96..256)
+# ---------------------------------------------------------------------------
+#
+# The 512px models' global branch runs axial attention at span 256
+# (mix_512, reference model_codes.py:1894-2096), where neither the plain
+# flash kernel (whole-span q/sv accumulators outgrow VMEM) nor the
+# stripe-block kernel (its tiles scale with L^2) admits the shape — the
+# train path fell back to XLA einsums, materializing the (S, g, L, L)
+# logits chain in HBM (~0.5 GB per tensor at batch 2). This variant adds
+# QUERY-axis streaming on top of the key streaming: the grid gains an
+# innermost query-block dimension, each program holds (c, Ib, Sb) of q
+# plus the whole-key k/v rows, and runs the same online softmax. The
+# backward accumulates dk/dv in grid-resident blocks across the query
+# sweep (their output index maps are constant in the innermost axis).
+
+_IB_F2 = 32   # query rows per program
+_JB_F2 = 16   # fwd key block; bwd uses 8
+
+# The key loop is a lax.fori_loop, NOT a Python unroll: at L/Jb = 16-32
+# iterations Mosaic's scoped stack keeps every unrolled iteration's tiles
+# live simultaneously (measured 24.7 MB at span 128 — compile-time OOM),
+# while a fori body keeps exactly one. The price is traced key offsets,
+# and Mosaic forbids dynamic LANE-axis slices — so the (·, i, j) tables,
+# whose key axis j is minor, are pre-blocked by the XLA glue into
+# (L//Ib, ch, L_j, Ib) arrays (j on sublanes, the Ib query rows on lanes)
+# and transposed back per (Ib, Jb) tile inside the kernel.
+
+
+def _tbl_blk(ref, ci, j0, jb):
+    """(Ib, Jb) tile of a pre-blocked table ref (1, ch, L_j, Ib).
+
+    All-slice indexing only: mixing integer indices with pl.ds on a ref
+    routes through the (unsupported >2D) gather lowering."""
+    blk = ref[pl.ds(0, 1), pl.ds(ci, 1), pl.ds(j0, jb), :]
+    return jnp.swapaxes(blk[0, 0], 0, 1)
+
+
+def _flash2_fwd_kernel(q_ref, k_ref, v_ref, qembb_ref, kembtb_ref, vembb_ref,
+                       aff_ref, sv_ref, sve_ref, m_ref, l_ref,
+                       *, has_pos: bool, L: int, jb_size: int):
+    _JB = jb_size
+    aff = aff_ref[pl.ds(pl.program_id(0), 1), :][0]
+    q = q_ref[...][0]                      # (c, Ib, Sb)
+    c, Ib, Sb = q.shape
+    gp = v_ref.shape[1]
+
+    def body(jb, carry):
+        m, l, sv_acc, sve_acc = carry
+        j0 = jb * _JB
+        kblk = k_ref[pl.ds(0, 1), :, pl.ds(j0, _JB), :][0]   # (c, _JB, Sb)
+        lg = q[0][:, None, :] * kblk[0][None]
+        for ci in range(1, c):
+            lg += q[ci][:, None, :] * kblk[ci][None]
+        lg = lg * aff[0] + aff[1]
+        if has_pos:
+            qr = q[0][:, None, :] * _tbl_blk(qembb_ref, 0, j0, _JB)[:, :, None]
+            kr = kblk[0][None] * _tbl_blk(kembtb_ref, 0, j0, _JB)[:, :, None]
+            for ci in range(1, c):
+                qr += (q[ci][:, None, :]
+                       * _tbl_blk(qembb_ref, ci, j0, _JB)[:, :, None])
+                kr += (kblk[ci][None]
+                       * _tbl_blk(kembtb_ref, ci, j0, _JB)[:, :, None])
+            lg = lg + (qr * aff[2] + aff[3]) + (kr * aff[4] + aff[5])
+        m_new = jnp.maximum(m, jnp.max(lg, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_new)              # (Ib, 1, Sb)
+        alpha_p = alpha[:, 0, :][None]          # (1, Ib, Sb); two-step to
+        # stay on the slice path (None+int mixed indexing lowers as gather)
+        e = jnp.exp(lg - m_new)                 # (Ib, _JB, Sb)
+        l = l * alpha + jnp.sum(e, axis=1, keepdims=True)
+        vblk = v_ref[pl.ds(0, 1), :, pl.ds(j0, _JB), :][0]   # (gp, _JB, Sb)
+        sv_new = jnp.stack(
+            [jnp.sum(e * vblk[p][None], axis=1) for p in range(gp)])
+        sv_acc = sv_acc * alpha_p + sv_new
+        if has_pos:
+            sve_new = jnp.stack(
+                [jnp.sum(e * _tbl_blk(vembb_ref, p, j0, _JB)[:, :, None],
+                         axis=1) for p in range(gp)])
+            sve_acc = sve_acc * alpha_p + sve_new
+        return m_new, l, sv_acc, sve_acc
+
+    init = (jnp.full((Ib, 1, Sb), -1e30, _F32),
+            jnp.zeros((Ib, 1, Sb), _F32),
+            jnp.zeros((gp, Ib, Sb), _F32),
+            jnp.zeros((gp, Ib, Sb), _F32))
+    m, l, sv_acc, sve_acc = jax.lax.fori_loop(0, L // _JB, body, init)
+    inv_l = (1.0 / l)[:, 0, :][None]
+    sv_ref[0] = sv_acc * inv_l
+    if has_pos:
+        sve_ref[0] = sve_acc * inv_l
+    m_ref[0] = m[:, 0, :]
+    l_ref[0] = l[:, 0, :]
+
+
+def _flash2_bwd_kernel(q_ref, k_ref, v_ref, qembb_ref, kembtb_ref, vembb_ref,
+                       aff_ref, m_ref, l_ref, sv_ref, sve_ref,
+                       dsv_ref, dsve_ref,
+                       dq_ref, dk_ref, dv_ref,
+                       dqep_ref, dkep_ref, dvep_ref, daff_ref,
+                       *, has_pos: bool, L: int, jb_size: int):
+    """Backward with query streaming: grid = (g, S // Sb, L // Ib).
+
+    The innermost grid axis sweeps query blocks, so the dk/dv outputs
+    (index maps constant in it) stay VMEM-resident and accumulate across
+    the sweep. Table gradients are emitted as per-program PARTIAL blocks
+    (summed over the program's Sb lanes, single visit each) that the XLA
+    glue reduces over (g, stripe-blocks) — in-kernel accumulation would
+    need either cross-program revisiting (unspecified persistence) or
+    dynamic lane-axis stores (unsupported)."""
+    _JB = jb_size
+    gi = pl.program_id(0)
+    ib = pl.program_id(2)
+    aff = aff_ref[pl.ds(gi, 1), :][0]
+    q = q_ref[...][0]                       # (c, Ib, Sb)
+    c, Ib, Sb = q.shape
+    gp = v_ref.shape[1]
+    m = m_ref[...][0][:, None, :]
+    inv_l = (1.0 / l_ref[...][0])[:, None, :]
+    dsv, dsve = dsv_ref[...][0], dsve_ref[...][0]
+    sv, sve = sv_ref[...][0], sve_ref[...][0]
+
+    delta = jnp.sum(dsv * sv, axis=0)
+    if has_pos:
+        delta = delta + jnp.sum(dsve * sve, axis=0)
+    delta = delta[:, None, :]               # (Ib, 1, Sb)
+
+    def body(jb, carry):
+        dq_acc, d_qk_sum, d_qr_sum, d_kr_sum, db = carry
+        dq_acc = list(dq_acc)  # per-channel tuple: .at[ci].add on a stacked
+        # array would lower as (unsupported) scatter-add
+        j0 = jb * _JB
+        kblk = k_ref[pl.ds(0, 1), :, pl.ds(j0, _JB), :][0]
+        vblk = v_ref[pl.ds(0, 1), :, pl.ds(j0, _JB), :][0]
+        qk = q[0][:, None, :] * kblk[0][None]
+        for ci in range(1, c):
+            qk += q[ci][:, None, :] * kblk[ci][None]
+        lg = qk * aff[0] + aff[1]
+        if has_pos:
+            qtb = [_tbl_blk(qembb_ref, ci, j0, _JB) for ci in range(c)]
+            ktb = [_tbl_blk(kembtb_ref, ci, j0, _JB) for ci in range(c)]
+            vtb = [_tbl_blk(vembb_ref, p, j0, _JB) for p in range(gp)]
+            qr = q[0][:, None, :] * qtb[0][:, :, None]
+            kr = kblk[0][None] * ktb[0][:, :, None]
+            for ci in range(1, c):
+                qr += q[ci][:, None, :] * qtb[ci][:, :, None]
+                kr += kblk[ci][None] * ktb[ci][:, :, None]
+            lg = lg + (qr * aff[2] + aff[3]) + (kr * aff[4] + aff[5])
+        sim = jnp.exp(lg - m) * inv_l       # (Ib, _JB, Sb)
+
+        dsim = dsv[0][:, None, :] * vblk[0][None]
+        for p in range(1, gp):
+            dsim += dsv[p][:, None, :] * vblk[p][None]
+        if has_pos:
+            for p in range(gp):
+                dsim += dsve[p][:, None, :] * vtb[p][:, :, None]
+
+        dlog = sim * (dsim - delta)
+        db += jnp.sum(dlog)
+        d_qk_sum += jnp.sum(dlog * qk)
+        d_qk = dlog * aff[0]
+        if has_pos:
+            d_qr_sum += jnp.sum(dlog * qr)
+            d_kr_sum += jnp.sum(dlog * kr)
+            d_qr = dlog * aff[2]
+            d_kr = dlog * aff[4]
+
+        # dv/dk rows for this key block: initialize on the first query
+        # block, accumulate after
+        dv_new = jnp.stack(
+            [jnp.sum(dsv[p][:, None, :] * sim, axis=0) for p in range(gp)])
+        dk_rows = []
+        for ci in range(c):
+            t = jnp.sum(d_qk * q[ci][:, None, :], axis=0)
+            if has_pos:
+                t += jnp.sum(d_kr * ktb[ci][:, :, None], axis=0)
+            dk_rows.append(t)
+            tq = jnp.sum(d_qk * kblk[ci][None], axis=1)
+            if has_pos:
+                tq += jnp.sum(d_qr * qtb[ci][:, :, None], axis=1)
+            dq_acc[ci] = dq_acc[ci] + tq
+        dk_new = jnp.stack(dk_rows)
+
+        @pl.when(ib == 0)
+        def _():
+            dk_ref[pl.ds(0, 1), :, pl.ds(j0, _JB), :] = dk_new[None]
+            dv_ref[pl.ds(0, 1), :, pl.ds(j0, _JB), :] = dv_new[None]
+
+        @pl.when(ib != 0)
+        def _():
+            dk_ref[pl.ds(0, 1), :, pl.ds(j0, _JB), :] = (
+                dk_ref[pl.ds(0, 1), :, pl.ds(j0, _JB), :] + dk_new[None])
+            dv_ref[pl.ds(0, 1), :, pl.ds(j0, _JB), :] = (
+                dv_ref[pl.ds(0, 1), :, pl.ds(j0, _JB), :] + dv_new[None])
+
+        if has_pos:
+            # partial table grads for this (program, key block), j on
+            # sublanes to match the pre-blocked layout
+            dqe = jnp.stack([jnp.swapaxes(
+                jnp.sum(d_qr * q[ci][:, None, :], axis=2), 0, 1)
+                for ci in range(c)])            # (c, _JB, Ib)
+            dke = jnp.stack([jnp.swapaxes(
+                jnp.sum(d_kr * kblk[ci][None], axis=2), 0, 1)
+                for ci in range(c)])
+            dve = jnp.stack([jnp.swapaxes(
+                jnp.sum(sim * dsve[p][:, None, :], axis=2), 0, 1)
+                for p in range(gp)])
+            d3 = (pl.ds(0, 1),) * 3
+            dqep_ref[d3 + (slice(None), pl.ds(j0, _JB), slice(None))] = \
+                dqe[None, None, None]
+            dkep_ref[d3 + (slice(None), pl.ds(j0, _JB), slice(None))] = \
+                dke[None, None, None]
+            dvep_ref[d3 + (slice(None), pl.ds(j0, _JB), slice(None))] = \
+                dve[None, None, None]
+        return tuple(dq_acc), d_qk_sum, d_qr_sum, d_kr_sum, db
+
+    z = jnp.zeros((), _F32)
+    init = (tuple(jnp.zeros((Ib, Sb), _F32) for _ in range(c)), z, z, z, z)
+    dq_acc, d_qk_sum, d_qr_sum, d_kr_sum, db = jax.lax.fori_loop(
+        0, L // _JB, body, init)
+
+    dq_ref[0] = jnp.stack(dq_acc)
+
+    if has_pos:
+        daff = jnp.stack([d_qk_sum, db, d_qr_sum, db, d_kr_sum, db, z, z])
+    else:
+        daff = jnp.stack([d_qk_sum, db, z, z, z, z, z, z])
+
+    first_all = jnp.logical_and(
+        jnp.logical_and(pl.program_id(1) == 0, gi == 0), ib == 0)
+
+    @pl.when(first_all)
+    def _():
+        daff_ref[...] = jnp.zeros_like(daff_ref)
+
+    daff_ref[pl.ds(gi, 1), :] = daff_ref[pl.ds(gi, 1), :] + daff[None]
+
+
+def _preblock_table(tbl, Ib):
+    """(ch, L_i, L_j) -> (L_i // Ib, ch, L_j, Ib): query rows blocked onto
+    the lane axis, key axis on sublanes (kernel-sliceable)."""
+    ch, L, Lj = tbl.shape
+    t = jnp.transpose(tbl, (1, 0, 2)).reshape(L // Ib, Ib, ch, Lj)
+    return jnp.transpose(t, (0, 2, 3, 1))
+
+
+# flash2 budget: the fori-loop kernels track the analytic estimate far
+# more closely than the unrolled ones (one iteration's tiles live at a
+# time), so they earn a larger budget. Empirical anchor: (span 256,
+# gp=4, S 512) picks (Sb 128, Ib 16) under this budget and compiles/runs
+# on-chip; under the shared 6M budget it was rejected outright.
+_VMEM_BUDGET_F2 = 8 << 20
+
+
+def _flash2_pick(S: int, c: int, gp: int, L: int, Ib: int,
+                 jb: int, bwd: bool) -> int:
+    """Lane block for the query-streamed kernels (0 if nothing fits).
+
+    With the fori key loop only ONE iteration's tiles are live; the
+    dominant residents are the whole-key k/v (+ dk/dv) rows. Sb is capped
+    at 128 — every on-chip validation ran there."""
+    if bwd:
+        arrays = 2 * (2 * c + 2 * gp) * L + (2 * c + 2 * gp) * L \
+            + 2 * (2 * c + 6 * gp + 4) * Ib
+        tiles = 14 * Ib * jb
+    else:
+        arrays = 2 * (c + gp) * L + 2 * (c + 2 * gp + 2) * Ib
+        tiles = 8 * Ib * jb
+    # pre-blocked table blocks (+ partial-grad output blocks in bwd),
+    # amortized over the 128-lane block
+    table_rows = (2 + (2 if bwd else 0)) * (2 * c + gp) * L * Ib // 128
+    per_lane = 4 * (arrays + tiles + table_rows)
+    cap = min(128, _VMEM_BUDGET_F2 // max(per_lane, 1), S)
+    for Sb in range((cap // 128) * 128, 0, -128):
+        if S % Sb == 0:
+            return Sb
+    return 0
+
+
+def _flash2_geom(S: int, c: int, gp: int, L: int):
+    """(Sb, Ib, Jb_bwd) for the query-streamed kernels, or (0, 0, 0)."""
+    for Ib in (_IB_F2, 16):
+        if L % Ib or L % _JB_F2:
+            return (0, 0, 0)
+        Sb_f = _flash2_pick(S, c, gp, L, Ib, _JB_F2, bwd=False)
+        if Sb_f < 128:
+            continue
+        for jb in (8,):
+            Sb_b = _flash2_pick(S, c, gp, L, Ib, jb, bwd=True)
+            if Sb_b >= 128:
+                return (min(Sb_f, Sb_b), Ib, jb)
+    return (0, 0, 0)
+
+
+@jax.custom_vjp
+def flash2_lanes_core(q, k, v, qemb, kemb_t, vemb, sim_affine):
+    """Query+key streamed lanes attention for spans 96..256; same contract
+    as ``lanes_attn_core``."""
+    sv, sve, _, _ = _flash2_fwd(q, k, v, qemb, kemb_t, vemb, sim_affine)
+    return sv, sve
+
+
+def _flash2_fwd(q, k, v, qemb, kemb_t, vemb, sim_affine, interpret=None):
+    interpret = _interpret_default(interpret)
+    g, c, L, S = q.shape
+    gp = v.shape[1]
+    has_pos = qemb.shape[0] > 0
+    Sb, Ib, _ = _flash2_geom(S, c, gp, L)
+    assert Sb >= 1, (S, g, c, gp, L)
+    grid = (g, S // Sb, L // Ib)
+    q_spec = pl.BlockSpec((1, c, Ib, Sb), lambda gi, si, ib: (gi, 0, ib, si),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, c, L, Sb), lambda gi, si, ib: (gi, 0, 0, si),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, gp, L, Sb), lambda gi, si, ib: (gi, 0, 0, si),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, gp, Ib, Sb), lambda gi, si, ib: (gi, 0, ib, si),
+                          memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, Ib, Sb), lambda gi, si, ib: (gi, ib, si),
+                            memory_space=pltpu.VMEM)
+    ce = max(c, 1) if has_pos else 1
+    pe = max(gp, 1) if has_pos else 1
+    if has_pos:
+        qembb = _preblock_table(qemb, Ib)
+        kembtb = _preblock_table(kemb_t, Ib)
+        vembb = _preblock_table(vemb, Ib)
+    else:
+        qembb = jnp.zeros((L // Ib, 1, L, Ib), _F32)
+        kembtb = qembb
+        vembb = qembb
+    ctbl_spec = pl.BlockSpec((1, ce, L, Ib), lambda gi, si, ib: (ib, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    ptbl_spec = pl.BlockSpec((1, pe, L, Ib), lambda gi, si, ib: (ib, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    aff_spec = pl.BlockSpec((g, 8), lambda gi, si, ib: (0, 0),
+                            memory_space=pltpu.VMEM)
+    sv, sve, m, l = pl.pallas_call(
+        functools.partial(_flash2_fwd_kernel, has_pos=has_pos, L=L,
+                          jb_size=_JB_F2),
+        grid=grid,
+        in_specs=[q_spec, k_spec, v_spec, ctbl_spec, ctbl_spec, ptbl_spec,
+                  aff_spec],
+        out_specs=(o_spec, o_spec, row_spec, row_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, gp, L, S), _F32),
+            jax.ShapeDtypeStruct((g, gp, L, S), _F32),
+            jax.ShapeDtypeStruct((g, L, S), _F32),
+            jax.ShapeDtypeStruct((g, L, S), _F32),
+        ),
+        interpret=interpret,
+    )(q, k, v, qembb, kembtb, vembb, sim_affine)
+    if not has_pos:
+        sve = jnp.zeros_like(sv)
+    return sv, sve, m, l
+
+
+def _flash2_fwd_rule(q, k, v, qemb, kemb_t, vemb, sim_affine):
+    sv, sve, m, l = _flash2_fwd(q, k, v, qemb, kemb_t, vemb, sim_affine)
+    return (sv, sve), (q, k, v, qemb, kemb_t, vemb, sim_affine, m, l, sv, sve)
+
+
+def _flash2_bwd_rule(residuals, grads, interpret=None):
+    q, k, v, qemb, kemb_t, vemb, sim_affine, m, l, sv, sve = residuals
+    dsv, dsve = grads
+    interpret = _interpret_default(interpret)
+    g, c, L, S = q.shape
+    gp = v.shape[1]
+    has_pos = qemb.shape[0] > 0
+    Sb, Ib, jb_size = _flash2_geom(S, c, gp, L)
+    assert Sb >= 1, (S, g, c, gp, L)
+    nS, nI = S // Sb, L // Ib
+    grid = (g, nS, nI)
+
+    q_spec = pl.BlockSpec((1, c, Ib, Sb), lambda gi, si, ib: (gi, 0, ib, si),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, c, L, Sb), lambda gi, si, ib: (gi, 0, 0, si),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, gp, L, Sb), lambda gi, si, ib: (gi, 0, 0, si),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, gp, Ib, Sb), lambda gi, si, ib: (gi, 0, ib, si),
+                          memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, Ib, Sb), lambda gi, si, ib: (gi, ib, si),
+                            memory_space=pltpu.VMEM)
+    ce = max(c, 1) if has_pos else 1
+    pe = max(gp, 1) if has_pos else 1
+    if has_pos:
+        qembb = _preblock_table(qemb, Ib)
+        kembtb = _preblock_table(kemb_t, Ib)
+        vembb = _preblock_table(vemb, Ib)
+    else:
+        qembb = jnp.zeros((nI, 1, L, Ib), _F32)
+        kembtb = qembb
+        vembb = qembb
+    ctbl_spec = pl.BlockSpec((1, ce, L, Ib), lambda gi, si, ib: (ib, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    ptbl_spec = pl.BlockSpec((1, pe, L, Ib), lambda gi, si, ib: (ib, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    # per-program partial table grads (single visit per block; the XLA
+    # reduction below sums the (g, stripe-block) axes)
+    cpart_spec = pl.BlockSpec((1, 1, 1, ce, L, Ib),
+                              lambda gi, si, ib: (gi, si, ib, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    ppart_spec = pl.BlockSpec((1, 1, 1, pe, L, Ib),
+                              lambda gi, si, ib: (gi, si, ib, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    aff_spec = pl.BlockSpec((g, 8), lambda gi, si, ib: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq, dk, dv, dqep, dkep, dvep, daff = pl.pallas_call(
+        functools.partial(_flash2_bwd_kernel, has_pos=has_pos, L=L,
+                          jb_size=jb_size),
+        grid=grid,
+        in_specs=[q_spec, k_spec, v_spec, ctbl_spec, ctbl_spec, ptbl_spec,
+                  aff_spec, row_spec, row_spec, o_spec, o_spec,
+                  o_spec, o_spec],
+        out_specs=(q_spec, k_spec, v_spec, cpart_spec, cpart_spec, ppart_spec,
+                   aff_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, c, L, S), _F32),
+            jax.ShapeDtypeStruct((g, c, L, S), _F32),
+            jax.ShapeDtypeStruct((g, gp, L, S), _F32),
+            jax.ShapeDtypeStruct((g, nS, nI, ce, L, Ib), _F32),
+            jax.ShapeDtypeStruct((g, nS, nI, ce, L, Ib), _F32),
+            jax.ShapeDtypeStruct((g, nS, nI, pe, L, Ib), _F32),
+            jax.ShapeDtypeStruct((g, 8), _F32),
+        ),
+        interpret=interpret,
+    )(q, k, v, qembb, kembtb, vembb, sim_affine, m, l, sv, sve, dsv, dsve)
+
+    if not has_pos:
+        zc = jnp.zeros((0, L, L), _F32)
+        return dq, dk, dv, zc, zc, jnp.zeros((0, L, L), _F32), daff
+
+    def unblock(part, ch):
+        # (g, nS, nI, ch, L_j, Ib) -> (ch, L_i, L_j)
+        t = jnp.sum(part, axis=(0, 1))               # (nI, ch, L_j, Ib)
+        t = jnp.transpose(t, (1, 0, 3, 2))           # (ch, nI, Ib, L_j)
+        return t.reshape(ch, L, L)
+
+    return (dq, dk, dv, unblock(dqep, ce), unblock(dkep, ce),
+            unblock(dvep, pe), daff)
+
+
+flash2_lanes_core.defvjp(_flash2_fwd_rule, _flash2_bwd_rule)
+
+
+def flash2_supported(span: int, groups: int, gp: int, stripes: int) -> bool:
+    """Query-streamed admission: the large spans the plain flash kernel
+    cannot hold (96..256, plus wide-gp mid spans its empirical gp*span
+    gate rejects)."""
+    c = max(gp // 2, 1)
+    return (LANES_ENABLED and 64 < span <= 256
+            and span % _JB_F2 == 0
+            and stripes >= 128
+            and _flash2_geom(stripes, c, gp, span)[0] >= 128)

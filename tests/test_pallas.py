@@ -227,6 +227,102 @@ def test_flash_train_matches_jnp(mode):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.parametrize("mode", ["gated", "wopos"])
+def test_flash2_train_matches_jnp(mode):
+    """Query+key streamed ("flash2") kernel: spans 96..256 route through
+    flash2_lanes_core (the 512px models' global branch); outputs/grads/stats
+    must match the XLA path (f32 interpret)."""
+    import medt_tpu.ops.pallas_axial_lanes as lk
+
+    calls = {}
+    orig = lk.flash2_lanes_core
+
+    def wrapped(*a, **kw):
+        calls["n"] = calls.get("n", 0) + 1
+        return orig(*a, **kw)
+
+    lk.flash2_lanes_core = wrapped
+    try:
+        # n=1 x m=128 = 128 stripes, span 128 -> flash2 admission
+        ((l1, (o1, s1)), g1), ((l2, (o2, s2)), g2) = _train_pair(
+            mode, out_planes=16, groups=8, span=128, n=1)
+    finally:
+        lk.flash2_lanes_core = orig
+    assert calls.get("n", 0) >= 1, "flash2 kernel was not invoked"
+    np.testing.assert_allclose(float(l1), float(l2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=5e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("has_pos", [True, False])
+def test_flash2_core_span256_matches_xla(has_pos):
+    """Core-level span-256 parity (the mix_512 global-branch geometry, at a
+    reduced stripe count): flash2 vs the XLA einsum core, fwd + grads."""
+    from medt_tpu.ops.pallas_axial_lanes import (
+        flash2_lanes_core, flash2_supported)
+    from medt_tpu.ops.pallas_axial_train import attn_core_xla, pack_sim_affine
+
+    L, g, c, gp, S = 256, 2, 2, 4, 128
+    assert flash2_supported(L, g, gp, S)
+    rng = np.random.default_rng(7)
+    f = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32)) * 0.3
+    q, k, v = f(S, g, c, L), f(S, g, c, L), f(S, g, gp, L)
+    a = f(3, g) * 0.3 + 1.0
+    b = f(3, g) * 0.1
+    if has_pos:
+        qe, ke, ve = f(c, L, L), f(c, L, L), f(gp, L, L)
+        aff = pack_sim_affine(g, a, b, "gated")
+        args = (q, k, v, qe, ke, ve)
+    else:
+        qe = ke = ve = None
+        aff = pack_sim_affine(g, a[0], b[0], "wopos")
+        args = (q, k, v)
+
+    def xla_fn(q, k, v, qe=None, ke=None, ve=None):
+        return attn_core_xla(q, k, v, qe, ke, ve, aff, has_pos=has_pos)
+
+    def f2_fn(q, k, v, qe=None, ke=None, ve=None):
+        t = lambda x: jnp.transpose(x, (1, 2, 3, 0))
+        if has_pos:
+            sv, sve = flash2_lanes_core(t(q), t(k), t(v), qe,
+                                        jnp.swapaxes(ke, 1, 2), ve, aff)
+        else:
+            e = jnp.zeros((0, L, L), jnp.float32)
+            sv, sve = flash2_lanes_core(t(q), t(k), t(v), e, e, e, aff)
+        u = lambda x: jnp.transpose(x, (3, 0, 1, 2))
+        return u(sv), u(sve)
+
+    o1, o2 = jax.jit(xla_fn)(*args), jax.jit(f2_fn)(*args)
+    np.testing.assert_allclose(np.asarray(o2[0]), np.asarray(o1[0]),
+                               atol=5e-4)
+    if has_pos:
+        np.testing.assert_allclose(np.asarray(o2[1]), np.asarray(o1[1]),
+                                   atol=5e-4)
+
+    tgt = f(S, g, gp, L)
+
+    def loss(fn, *a):
+        sv, sve = fn(*a)
+        l = jnp.mean((sv - tgt) ** 2)
+        if has_pos:
+            l = l + jnp.mean(sve ** 2)
+        return l
+
+    n = len(args)
+    g1 = jax.jit(jax.grad(lambda *a: loss(xla_fn, *a),
+                          argnums=tuple(range(n))))(*args)
+    g2 = jax.jit(jax.grad(lambda *a: loss(f2_fn, *a),
+                          argnums=tuple(range(n))))(*args)
+    for a_, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a_), atol=2e-5)
+
+
 @pytest.mark.parametrize("mode", ["gated", "full", "wopos", "gated_sig"])
 def test_lanes_train_matches_jnp(mode):
     """Stripe-LANE small-span kernel (ops/pallas_axial_lanes.py): at spans

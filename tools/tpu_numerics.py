@@ -102,9 +102,11 @@ def fused_train_checks():
 
     # n chosen so the lanes kernels' stripe admission (>=128) is exercised:
     # span 64/32 route through the key-streamed flash kernels, span 16
-    # through the plain stripe-lane kernels
+    # through the plain stripe-lane kernels, spans 128/256 through the
+    # query+key streamed flash2 kernels (the 512px models' global branch)
     for mode, span, n in [("gated", 64, 2), ("wopos", 32, 4),
-                          ("gated", 16, 8)]:
+                          ("gated", 16, 8), ("gated", 128, 1),
+                          ("wopos", 256, 1)]:
         rng = np.random.default_rng(1)
         x = jnp.asarray(rng.normal(size=(n, span, span, 6)).astype(np.float32))
         tgt = jnp.asarray(rng.normal(size=(n, span, span, 16)).astype(np.float32))
