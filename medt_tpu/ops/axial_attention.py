@@ -296,15 +296,14 @@ class AxialAttention(nn.Module):
             fused_attn_core,
             fused_train_supported,
             logit_moments,
+            logit_moments_lanes,
             pack_sim_affine,
             qk_moments,
+            qk_moments_lanes,
         )
 
         n, L, m = qkv.shape[0], qkv.shape[1], qkv.shape[2]
         S, c = n * m, gp // 2
-        stripes = qkv.transpose(0, 2, 1, 3, 4).reshape(S, L, g, 2 * gp)
-        qkv_t = jnp.transpose(stripes, (0, 2, 3, 1)).astype(jnp.float32)
-        q, k, v = qkv_t[:, :, :c], qkv_t[:, :, c:gp], qkv_t[:, :, gp:]
 
         sim_scale, sim_bias, sim_mean, sim_var = sim_bn
 
@@ -325,30 +324,38 @@ class AxialAttention(nn.Module):
                       and fused_train_supported(span, g, gp))
         use_lanes = (not use_flash and not use_flash2 and not use_kernel
                      and lanes_supported(span, g, gp, S))
+        lanes_out = use_flash or use_flash2 or use_lanes
 
-        def to_lanes(t):  # (S, g, x, L) -> (g, x, L, S)
-            return jnp.transpose(t, (1, 2, 3, 0))
+        if lanes_out:
+            # single transpose straight into the kernels' (g, ch, L, S)
+            # layout; moments consume it via the *_lanes variants (the whole
+            # op — qkv in, BN'd output out — then needs exactly two big
+            # copies instead of the six of the stripe-major chain)
+            qkv_l = jnp.transpose(qkv, (3, 4, 1, 0, 2)) \
+                .reshape(g, 2 * gp, L, S).astype(jnp.float32)
+            q, k, v = qkv_l[:, :c], qkv_l[:, c:gp], qkv_l[:, gp:]
+        else:
+            stripes = qkv.transpose(0, 2, 1, 3, 4).reshape(S, L, g, 2 * gp)
+            qkv_t = jnp.transpose(stripes, (0, 2, 3, 1)).astype(jnp.float32)
+            q, k, v = qkv_t[:, :, :c], qkv_t[:, :, c:gp], qkv_t[:, :, gp:]
 
-        def from_lanes(t):  # (g, gp, L, S) -> (S, g, gp, L)
-            return jnp.transpose(t, (3, 0, 1, 2))
-
+        sv_l = sve_l = None
         gates = None
         if self.mode == MODE_WOPOS:
             if train:
-                mean_b, var_b, count = qk_moments(q, k)
+                moments = qk_moments_lanes if lanes_out else qk_moments
+                mean_b, var_b, count = moments(q, k)
                 a, b = fold_train_affine(sim_scale, sim_bias, mean_b, var_b)
             else:
                 a, b = fold_train_affine(sim_scale, sim_bias,
                                          sim_mean.value, sim_var.value)
             aff = pack_sim_affine(g, a, b, "wopos")
-            if use_flash or use_flash2 or use_lanes:
+            if lanes_out:
                 core_l = (flash_lanes_core if use_flash
                           else flash2_lanes_core if use_flash2
                           else lanes_attn_core)
                 empty = jnp.zeros((0, L, L), jnp.float32)
-                sv_l, _ = core_l(to_lanes(q), to_lanes(k), to_lanes(v),
-                                 empty, empty, empty, aff)
-                sv, sve = from_lanes(sv_l), None
+                sv_l, _ = core_l(q, k, v, empty, empty, empty, aff)
             elif use_kernel:
                 zero_c = jnp.zeros((c, L, L), jnp.float32)
                 zero_p = jnp.zeros((gp, L, L), jnp.float32)
@@ -374,20 +381,19 @@ class AxialAttention(nn.Module):
                 k_emb = k_emb * f_kr
                 v_emb = v_emb * f_sve
             if train:
-                mean_b, var_b, count = logit_moments(q, k, q_emb, k_emb)
+                moments = logit_moments_lanes if lanes_out else logit_moments
+                mean_b, var_b, count = moments(q, k, q_emb, k_emb)
                 a, b = fold_train_affine(sim_scale, sim_bias, mean_b, var_b)
             else:
                 a, b = fold_train_affine(sim_scale, sim_bias,
                                          sim_mean.value, sim_var.value)
             aff = pack_sim_affine(g, a, b, self.mode)
-            if use_flash or use_flash2 or use_lanes:
+            if lanes_out:
                 core_l = (flash_lanes_core if use_flash
                           else flash2_lanes_core if use_flash2
                           else lanes_attn_core)
                 sv_l, sve_l = core_l(
-                    to_lanes(q), to_lanes(k), to_lanes(v),
-                    q_emb, jnp.swapaxes(k_emb, 1, 2), v_emb, aff)
-                sv, sve = from_lanes(sv_l), from_lanes(sve_l)
+                    q, k, v, q_emb, jnp.swapaxes(k_emb, 1, 2), v_emb, aff)
             else:
                 core = fused_attn_core if use_kernel else attn_core_xla
                 sv, sve = core(q, k, v, q_emb, k_emb, v_emb, aff)
@@ -399,6 +405,23 @@ class AxialAttention(nn.Module):
             ub = var_b * (count / max(count - 1.0, 1.0))
             sim_mean.value = (1 - momentum) * sim_mean.value + momentum * mean_b
             sim_var.value = (1 - momentum) * sim_var.value + momentum * ub
+
+        if lanes_out:
+            # output BN directly in the kernels' (g, gp, L, S) layout —
+            # features (g, gp[, stack]) are the MAJOR axes — then ONE
+            # transpose back to NHWC, replacing the from_lanes + unstripe
+            # chain (2 big copies per sv/sve, mirrored in the backward)
+            if self.mode == MODE_WOPOS:
+                y = self._bn_apply(out_bn, sv_l, (0, 1), train=train)
+            else:
+                if gates is not None:
+                    sv_l = sv_l * f_sv
+                stacked_out = jnp.stack([sv_l, sve_l], axis=-1)
+                stacked_out = self._bn_apply(out_bn, stacked_out, (0, 1, 4),
+                                             train=train)
+                y = jnp.sum(stacked_out, axis=-1)
+            out = jnp.transpose(y.reshape(g, gp, L, n, m), (3, 2, 4, 0, 1))
+            return out.reshape(n, L, m, self.out_planes).astype(dtype)
 
         def unstripe(t):  # (S, g, gp, L) -> (n, L, m, g, gp)
             t = jnp.transpose(t, (0, 3, 1, 2)).reshape(n, m, L, g, gp)
