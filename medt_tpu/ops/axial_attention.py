@@ -175,7 +175,9 @@ class AxialAttention(nn.Module):
             name="qkv",
         )(x)
         qkv = self._bn("bn_qkv", (self.out_planes * 2,), qkv, -1, train)
-        qkv = qkv.reshape(n, L, m, g, 2 * gp)
+        # NOTE: qkv stays 4D (n, L, m, 2*out_planes) here; each path does
+        # its own (g, 2gp) split so the lanes glue can transpose straight
+        # from the dense output without an intermediate 5D relayout copy
 
         # similarity/output BN parameter shapes per mode
         if self.mode == MODE_WOPOS:
@@ -226,7 +228,8 @@ class AxialAttention(nn.Module):
             gate_vals = self._gates(None)
             if gate_vals is None:  # full / wopos: no gating
                 gate_vals = self.gate_init
-            stripes = qkv.transpose(0, 2, 1, 3, 4).reshape(n * m, L, g, 2 * gp)
+            stripes = qkv.reshape(n, L, m, g, 2 * gp) \
+                .transpose(0, 2, 1, 3, 4).reshape(n * m, L, g, 2 * gp)
             out = fused_eval_attention(
                 stripes.astype(jnp.float32), relative,
                 sim_scale, sim_bias, sim_mean.value, sim_var.value,
@@ -327,15 +330,17 @@ class AxialAttention(nn.Module):
         lanes_out = use_flash or use_flash2 or use_lanes
 
         if lanes_out:
-            # single transpose straight into the kernels' (g, ch, L, S)
-            # layout; moments consume it via the *_lanes variants (the whole
-            # op — qkv in, BN'd output out — then needs exactly two big
-            # copies instead of the six of the stripe-major chain)
-            qkv_l = jnp.transpose(qkv, (3, 4, 1, 0, 2)) \
+            # single transpose straight from the 4D dense output into the
+            # kernels' (g, ch, L, S) layout — no intermediate 5D relayout;
+            # moments consume it via the *_lanes variants (the whole op —
+            # qkv in, BN'd output out — then needs exactly two big copies
+            # instead of the six of the stripe-major chain)
+            qkv_l = jnp.transpose(qkv, (3, 1, 0, 2)) \
                 .reshape(g, 2 * gp, L, S).astype(jnp.float32)
             q, k, v = qkv_l[:, :c], qkv_l[:, c:gp], qkv_l[:, gp:]
         else:
-            stripes = qkv.transpose(0, 2, 1, 3, 4).reshape(S, L, g, 2 * gp)
+            stripes = qkv.reshape(n, L, m, g, 2 * gp) \
+                .transpose(0, 2, 1, 3, 4).reshape(S, L, g, 2 * gp)
             qkv_t = jnp.transpose(stripes, (0, 2, 3, 1)).astype(jnp.float32)
             q, k, v = qkv_t[:, :, :c], qkv_t[:, :, c:gp], qkv_t[:, :, gp:]
 
@@ -443,6 +448,7 @@ class AxialAttention(nn.Module):
     def _jnp_attention(self, qkv, g, gp, span, train, data_gates_in,
                        sim_bn, out_bn, dtype):
         n, L, m = qkv.shape[0], qkv.shape[1], qkv.shape[2]
+        qkv = qkv.reshape(n, L, m, g, 2 * gp)
         q, k, v = jnp.split(qkv, [gp // 2, gp], axis=-1)
 
         # qk[n,m,g,i,j] = sum_c q[n,i,m,g,c] * k[n,j,m,g,c]
