@@ -95,14 +95,28 @@ def main(argv=None):
     cfg = parse_config(argv, description="medt_tpu serve")
     if not cfg.loaddirec:
         raise SystemExit("--loaddirec is required")
+    mesh = None
+    if cfg.dp and cfg.dp > 1:
+        # data-parallel serving: shard each compiled batch over the first
+        # --dp devices (params replicated, scales linearly over ICI)
+        import jax
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < cfg.dp:
+            raise SystemExit(
+                f"--dp {cfg.dp} but only {len(devs)} devices visible")
+        mesh = Mesh(np.asarray(devs[:cfg.dp]), ("data",))
     engine = InferenceEngine(
         cfg.modelname, cfg.imgsize, loaddirec=cfg.loaddirec,
         batch_size=cfg.batch_size, gray=cfg.gray == "yes",
-        use_fused=cfg.use_pallas == "yes", decision=cfg.pred_mode)
+        use_fused=cfg.use_pallas == "yes", decision=cfg.pred_mode,
+        mesh=mesh)
     engine.warmup()
     server = make_server(engine, cfg.port)
     print(f"serving {cfg.modelname}@{cfg.imgsize} on :{cfg.port} "
-          f"(batch {cfg.batch_size})", flush=True)
+          f"(batch {cfg.batch_size}"
+          + (f", dp={cfg.dp}" if mesh is not None else "") + ")", flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -19,6 +19,13 @@ Images at the training resolution run directly; larger images route
 through the vectorized sliding-window tiler (evaluation/sliding_window.py)
 using the same fixed-batch forward for the tiles.
 
+MULTI-CHIP serving: pass ``mesh`` (a 1D+ ``jax.sharding.Mesh``) and the
+compiled batch is sharded over the mesh's first axis — params replicated,
+per-device sub-batches, XLA inserts nothing on the forward (pure data
+parallel) so serving scales linearly over ICI. The sliding-window path
+shards its tile batches the same way via a sharding constraint inside the
+jitted tiler. ``batch_size`` must divide by the axis size.
+
 uint8 inputs ship to the device as bytes and normalize on-chip (f32/255,
 the training pipeline's convention — training/state.py::_normalize).
 """
@@ -57,11 +64,19 @@ class InferenceEngine:
                  batch_size: int = 16, gray: bool = False,
                  use_fused: bool = True, decision: str = "threshold",
                  window_stride: Optional[int] = None,
-                 max_wait_ms: float = 5.0, dtype=jnp.float32):
+                 max_wait_ms: float = 5.0, dtype=jnp.float32,
+                 mesh: Optional[jax.sharding.Mesh] = None):
         from ..models import build_model
 
         self.imgsize = int(imgsize)
         self.batch_size = int(batch_size)
+        self.mesh = mesh
+        if mesh is not None:
+            axis = mesh.axis_names[0]
+            if self.batch_size % mesh.shape[axis]:
+                raise ValueError(
+                    f"batch_size {self.batch_size} must divide by the mesh "
+                    f"'{axis}' axis ({mesh.shape[axis]})")
         self.channels = 1 if gray else 3
         self.decision = decision
         self.window_stride = int(window_stride or imgsize)
@@ -77,7 +92,20 @@ class InferenceEngine:
         self._variables = {"params": variables["params"],
                            "batch_stats": variables["batch_stats"]}
 
-        @jax.jit
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            batch_sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            replicated = NamedSharding(mesh, PartitionSpec())
+            jit_batched = lambda f: jax.jit(  # noqa: E731
+                f, in_shardings=(replicated, batch_sh),
+                out_shardings=batch_sh)
+            shard_tiles = lambda xb: jax.lax.with_sharding_constraint(  # noqa: E731
+                xb, batch_sh)
+        else:
+            jit_batched = jax.jit
+            shard_tiles = lambda xb: xb  # noqa: E731
+
         def forward(v, x):
             if x.dtype == jnp.uint8:
                 x = x.astype(jnp.float32) / 255.0
@@ -86,7 +114,7 @@ class InferenceEngine:
                 out = out[0]
             return out
 
-        @jax.jit
+        @jit_batched
         def forward_mask(v, x):
             # decode INSIDE the jitted program: eager post-ops would each
             # pay a remote compile on a tunneled device, and a uint8 mask
@@ -97,17 +125,19 @@ class InferenceEngine:
         @jax.jit
         def window_mask(v, img):
             # whole tiler jitted: one program per input shape (the window
-            # grid is static given the shape), zero eager ops per request
+            # grid is static given the shape), zero eager ops per request;
+            # tile batches carry the mesh sharding constraint so the tiler
+            # scales over the mesh like the batch path
             if img.dtype == jnp.uint8:
                 img = img.astype(jnp.float32) / 255.0
             logits = sliding_window_inference(
-                img, lambda xb: forward(v, xb),
+                img, lambda xb: forward(v, shard_tiles(xb)),
                 window=self.imgsize, stride=self.window_stride,
                 batch_size=self.batch_size)
             fg = logits_to_foreground(logits[None], mode=self.decision)[0]
             return fg.astype(jnp.uint8)
 
-        self._forward = forward
+        self._forward = jax.jit(forward)
         self._forward_mask = forward_mask
         self._window_mask = window_mask
         self._queue: "queue.Queue" = queue.Queue()

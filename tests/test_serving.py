@@ -117,3 +117,34 @@ def test_http_endpoint(engine, tmp_path):
     finally:
         server.shutdown()
         t.join()
+
+
+def test_mesh_sharded_serving_matches_single_device(engine):
+    """Data-parallel serving over an 8-device mesh: same masks as the
+    single-device engine, inputs sharded over the 'data' axis, params
+    replicated. Covers the batch path and the sliding-window tiler's
+    in-jit sharding constraint."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    eng8 = InferenceEngine(
+        "axialunet", SIZE, variables=engine._variables,
+        batch_size=8, mesh=mesh)
+    imgs = [_img(100 + i) for i in range(10)]  # full batch + partial
+    expected = engine.predict_batch(imgs)
+    got = eng8.predict_batch(imgs)
+    for a, b in zip(got, expected):
+        np.testing.assert_array_equal(a, b)
+
+    big = np.random.default_rng(5).integers(
+        0, 255, size=(SIZE * 2, SIZE + 8, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(eng8.predict(big), engine.predict(big))
+
+
+def test_mesh_serving_rejects_indivisible_batch():
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    with pytest.raises(ValueError):
+        InferenceEngine("axialunet", SIZE, variables={}, batch_size=6,
+                        mesh=mesh)
