@@ -32,6 +32,11 @@ def load_library() -> Optional[ctypes.CDLL]:
             lib.medt_decode_image.restype = ctypes.c_int
             lib.medt_decode_batch.restype = ctypes.c_int
             lib.medt_io_version.restype = ctypes.c_int
+            if lib.medt_io_version() >= 2:
+                lib.medt_color_jitter.restype = ctypes.c_int
+                lib.medt_color_jitter.argtypes = [
+                    ctypes.POINTER(ctypes.c_float)] + [ctypes.c_int] * 3 \
+                    + [ctypes.c_float] * 4
             _lib = lib
             return lib
         except OSError:
@@ -41,6 +46,32 @@ def load_library() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return load_library() is not None
+
+
+def jitter_available() -> bool:
+    lib = load_library()
+    return lib is not None and lib.medt_io_version() >= 2
+
+
+def color_jitter(img: np.ndarray, fb: float, fc: float, fs: float,
+                 fh: float) -> np.ndarray:
+    """Fused brightness/contrast/saturation/hue jitter, IN PLACE.
+
+    ``img`` must be contiguous float32 HWC in [0, 1] with 1 or 3 channels;
+    same order and formulas as the Python chain in data/transforms.py
+    (~100x faster — the numpy HSV round trip alone is ~5 ms per 128px
+    image)."""
+    lib = load_library()
+    if lib is None or lib.medt_io_version() < 2:
+        raise RuntimeError("libmedt_io.so v2+ not built (run: make -C native)")
+    assert img.dtype == np.float32 and img.flags.c_contiguous and img.ndim == 3
+    rc = lib.medt_color_jitter(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        img.shape[0], img.shape[1], img.shape[2],
+        float(fb), float(fc), float(fs), float(fh))
+    if rc != 0:
+        raise ValueError(f"native color_jitter failed ({rc})")
+    return img
 
 
 def decode_image(path: str, gray: bool = False,

@@ -202,11 +202,25 @@ class JointTransform2D:
 
         if self.color_jitter_params:
             b, c, s, h = self.color_jitter_params
-            image = _adjust_brightness(image, 1.0 + rng.uniform(-b, b))
-            image = _adjust_contrast(image, 1.0 + rng.uniform(-c, c))
+            # factors sampled up front in a fixed order so the native and
+            # Python paths consume identical rng draws
+            fb = 1.0 + rng.uniform(-b, b)
+            fc = 1.0 + rng.uniform(-c, c)
             if image.shape[-1] == 3:
-                image = _adjust_saturation(image, 1.0 + rng.uniform(-s, s))
-                image = _adjust_hue(image, float(rng.uniform(-h, h)))
+                fs = 1.0 + rng.uniform(-s, s)
+                fh = float(rng.uniform(-h, h))
+            else:
+                fs, fh = 1.0, 0.0
+            from . import native
+            if native.jitter_available():
+                image = native.color_jitter(
+                    np.ascontiguousarray(image, np.float32), fb, fc, fs, fh)
+            else:
+                image = _adjust_brightness(image, fb)
+                image = _adjust_contrast(image, fc)
+                if image.shape[-1] == 3:
+                    image = _adjust_saturation(image, fs)
+                    image = _adjust_hue(image, fh)
 
         if self.p_random_affine and rng.random() < self.p_random_affine:
             angle, tr, scale, shear = random_affine_params(

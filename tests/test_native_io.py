@@ -54,3 +54,51 @@ def test_decode_batch_ge_semantics(ds):
 def test_missing_file_reports_failure(ds):
     with pytest.raises(IOError):
         native.decode_batch(["/nonexistent.png"], 32, 32, gray=True)
+
+
+def test_native_color_jitter_matches_python_chain():
+    """Fused C++ jitter == the Python brightness->contrast->saturation->hue
+    chain (same formulas/order; float rounding only)."""
+    from medt_tpu.data.transforms import (
+        _adjust_brightness, _adjust_contrast, _adjust_hue, _adjust_saturation)
+
+    if not native.jitter_available():
+        pytest.skip("libmedt_io.so v2 not built")
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        img = rng.random((32, 24, 3)).astype(np.float32)
+        fb, fc = 1 + rng.uniform(-.3, .3), 1 + rng.uniform(-.3, .3)
+        fs, fh = 1 + rng.uniform(-.3, .3), float(rng.uniform(-.5, .5))
+        ref = _adjust_hue(_adjust_saturation(_adjust_contrast(
+            _adjust_brightness(img.copy(), fb), fc), fs), fh)
+        got = native.color_jitter(img.copy(), fb, fc, fs, fh)
+        np.testing.assert_allclose(got, ref, atol=5e-6)
+    # grayscale: brightness/contrast only, matching the Python gate
+    g = rng.random((16, 16, 1)).astype(np.float32)
+    ref = _adjust_contrast(_adjust_brightness(g.copy(), 1.2), 0.8)
+    got = native.color_jitter(g.copy(), 1.2, 0.8, 1.0, 0.0)
+    np.testing.assert_allclose(got, ref, atol=5e-6)
+
+
+def test_joint_transform_uses_native_jitter_consistently():
+    """JointTransform2D with jitter produces the same result whether the
+    native path is available or monkeypatched away (same rng draws)."""
+    from medt_tpu.data import transforms as T
+
+    if not native.jitter_available():
+        pytest.skip("libmedt_io.so v2 not built")
+    rng_img = np.random.default_rng(11)
+    img = rng_img.integers(0, 255, size=(64, 64, 3)).astype(np.uint8)
+    mask = (rng_img.random((64, 64)) > 0.5).astype(np.uint8)
+    tf = T.JointTransform2D(crop=(32, 32), p_flip=0.5,
+                            color_jitter_params=(0.1, 0.1, 0.1, 0.1),
+                            long_mask=True)
+    i1, m1 = tf(img, mask, rng=np.random.default_rng(5))
+    orig = native.jitter_available
+    native.jitter_available = lambda: False
+    try:
+        i2, m2 = tf(img, mask, rng=np.random.default_rng(5))
+    finally:
+        native.jitter_available = orig
+    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_allclose(i1, i2, atol=5e-6)
