@@ -9,6 +9,8 @@ front end for the framework. Stdlib-only (no server deps):
 Endpoints:
   POST /predict   body = PNG (any size; >=imgsize tiles via sliding window)
                   response = PNG mask (0/255), 200
+                  optional ``X-Priority: <int>`` header — lower is served
+                  first (engine priority queue); default 0
   GET  /healthz   {"status": "ok", ...engine counters...}
 
 Concurrent requests are coalesced into full TPU batches by the engine's
@@ -63,7 +65,8 @@ def make_handler(engine: InferenceEngine):
                     img = img[..., :3]
                 s = engine.imgsize
                 if img.shape[:2] == (s, s):
-                    mask = engine.submit(img).result()
+                    prio = int(self.headers.get("X-Priority", 0))
+                    mask = engine.submit(img, priority=prio).result()
                 else:
                     mask = engine.predict(img)  # sliding window
                 buf = io.BytesIO()

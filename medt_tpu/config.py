@@ -50,6 +50,9 @@ class Config:
     use_pallas: str = "yes"          # fused Pallas attention on the eval path
     remat: bool = False              # rematerialize fwd in bwd (bigger batches)
     dtype: str = "float32"           # float32 | bfloat16 compute
+    # the released reference FREEZES its attention gates (axialnet.py:124-127);
+    # "yes" trains them instead — the paper's described setting
+    trainable_gates: str = "no"
     aug: str = "off"
     profile_dir: Optional[str] = None
     # parallelism

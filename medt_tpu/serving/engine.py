@@ -14,6 +14,11 @@ forward and adds the two things a TPU serving path must have:
   ``max_wait_ms`` so a lone request is never stuck waiting for peers),
   amortizing the per-dispatch latency that dominates small-batch TPU
   serving.
+* REQUEST PRIORITIES: ``submit(img, priority=p)`` — lower ``p`` is
+  served first (0 = default/interactive, larger = batch/background).
+  The coalescer always drains the queue in (priority, arrival) order,
+  so a backlog of bulk requests cannot starve an interactive one: it
+  rides the very next batch. Same-priority requests stay FIFO.
 
 Images at the training resolution run directly; larger images route
 through the vectorized sliding-window tiler (evaluation/sliding_window.py)
@@ -31,6 +36,7 @@ the training pipeline's convention — training/state.py::_normalize).
 """
 from __future__ import annotations
 
+import itertools
 import queue
 import threading
 from concurrent.futures import Future
@@ -140,7 +146,9 @@ class InferenceEngine:
         self._forward = jax.jit(forward)
         self._forward_mask = forward_mask
         self._window_mask = window_mask
-        self._queue: "queue.Queue" = queue.Queue()
+        # (priority, seq, image, future): heap order = priority, then FIFO
+        self._queue: "queue.PriorityQueue" = queue.PriorityQueue()
+        self._seq = itertools.count()
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self._lock = threading.Lock()
@@ -204,37 +212,42 @@ class InferenceEngine:
         if self._worker is None:
             return
         self._stop.set()
-        self._queue.put(None)  # wake the worker
+        # sentinel sorts ahead of every real entry so stop is prompt even
+        # under a deep low-priority backlog
+        self._queue.put((float("-inf"), -1, None, None))
         self._worker.join()
         self._worker = None
 
-    def submit(self, image: np.ndarray) -> "Future[np.ndarray]":
+    def submit(self, image: np.ndarray,
+               priority: int = 0) -> "Future[np.ndarray]":
         """Enqueue one image; the worker coalesces concurrent submissions
-        into full batches. Returns a Future resolving to the mask."""
+        into full batches, draining in (priority, arrival) order — lower
+        ``priority`` first. Returns a Future resolving to the mask."""
         if self._worker is None:
             raise RuntimeError("engine not started; call start()")
         fut: "Future[np.ndarray]" = Future()
-        self._queue.put((self._check(image), fut))
+        self._queue.put((priority, next(self._seq), self._check(image), fut))
         return fut
 
     def _serve_loop(self):
         while not self._stop.is_set():
             item = self._queue.get()
-            if item is None:
+            if item[2] is None:
                 continue
             batch = [item]
-            # coalesce whatever arrives within the wait window, up to B
+            # coalesce whatever arrives within the wait window, up to B;
+            # each get() pulls the highest-priority pending request
             deadline = self.max_wait_ms / 1e3
             while len(batch) < self.batch_size:
                 try:
                     nxt = self._queue.get(timeout=deadline)
                 except queue.Empty:
                     break
-                if nxt is None:
+                if nxt[2] is None:
                     break
                 batch.append(nxt)
-            images = [b[0] for b in batch]
-            futures = [b[1] for b in batch]
+            images = [b[2] for b in batch]
+            futures = [b[3] for b in batch]
             try:
                 masks = self.predict_batch(images)
                 for f, m in zip(futures, masks):

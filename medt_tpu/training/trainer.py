@@ -67,8 +67,11 @@ def build_tx(cfg: Config, steps_per_epoch: int):
 
 def setup_state(cfg: Config, steps_per_epoch: int) -> TrainState:
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+    extra = {}
+    if cfg.trainable_gates == "yes":
+        extra["trainable_gates"] = True
     model = build_model(cfg.modelname, img_size=cfg.imgsize, dtype=dtype,
-                        use_fused=cfg.use_pallas == "yes")
+                        use_fused=cfg.use_pallas == "yes", **extra)
     tx = build_tx(cfg, steps_per_epoch)
     state = init_state(
         model, tx, (cfg.batch_size, cfg.imgsize, cfg.imgsize, cfg.imgchan),

@@ -86,6 +86,47 @@ def test_dynamic_batching_coalesces(engine):
     assert engine.batches_run - before <= 3
 
 
+def test_priority_queue_order(engine):
+    """A high-priority (lower number) submit overtakes a queued backlog of
+    low-priority ones: it rides the first batch dispatched after it lands.
+
+    The worker is parked inside a gated predict_batch while the backlog is
+    queued, so the drain order is deterministic."""
+    eng = InferenceEngine("axialunet", SIZE, variables=engine._variables,
+                          batch_size=2, max_wait_ms=1.0)
+    release, parked = threading.Event(), threading.Event()
+    real = eng.predict_batch
+
+    def gated(images):
+        parked.set()
+        assert release.wait(timeout=60)
+        return real(images)
+
+    eng.predict_batch = gated
+    eng.start()
+    try:
+        order = []
+
+        def track(tag):
+            return lambda fut: order.append(tag)
+
+        eng.submit(_img(0)).add_done_callback(track("blocker"))
+        assert parked.wait(timeout=60)  # worker busy; queue now frozen
+        for i in range(4):
+            eng.submit(_img(i + 1), priority=5).add_done_callback(
+                track(f"low{i}"))
+        hi = eng.submit(_img(9), priority=0)
+        hi.add_done_callback(track("hi"))
+        release.set()
+        hi.result(timeout=60)
+        # first completion after the blocker must be the high-priority one,
+        # despite 4 earlier-queued low-priority requests
+        assert order[0] == "blocker" and order[1] == "hi"
+    finally:
+        eng.predict_batch = real
+        eng.stop()
+
+
 def test_http_endpoint(engine, tmp_path):
     from PIL import Image
 
