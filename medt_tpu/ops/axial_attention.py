@@ -346,9 +346,20 @@ class AxialAttention(nn.Module):
 
         sv_l = sve_l = None
         gates = None
+        # one-pass Pallas moments kernel wherever the lanes layout is live
+        # (ops/pallas_moments.py — replaces ~6 broadcast-multiply-reduce
+        # fusions that each re-read q/k from HBM)
+        from .pallas_moments import (
+            logit_moments_lanes_fused,
+            moments_kernel_supported,
+            qk_moments_lanes_fused,
+        )
+        fuse_moments = lanes_out and moments_kernel_supported(span, gp, S)
+
         if self.mode == MODE_WOPOS:
             if train:
-                moments = qk_moments_lanes if lanes_out else qk_moments
+                moments = (qk_moments_lanes_fused if fuse_moments
+                           else qk_moments_lanes if lanes_out else qk_moments)
                 mean_b, var_b, count = moments(q, k)
                 a, b = fold_train_affine(sim_scale, sim_bias, mean_b, var_b)
             else:
@@ -386,7 +397,9 @@ class AxialAttention(nn.Module):
                 k_emb = k_emb * f_kr
                 v_emb = v_emb * f_sve
             if train:
-                moments = logit_moments_lanes if lanes_out else logit_moments
+                moments = (logit_moments_lanes_fused if fuse_moments
+                           else logit_moments_lanes if lanes_out
+                           else logit_moments)
                 mean_b, var_b, count = moments(q, k, q_emb, k_emb)
                 a, b = fold_train_affine(sim_scale, sim_bias, mean_b, var_b)
             else:

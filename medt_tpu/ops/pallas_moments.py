@@ -1,0 +1,240 @@
+"""Fused one-pass Pallas kernel for the similarity-BN batch moments.
+
+The train-mode attention path folds the similarity BatchNorm's *batch*
+statistics into a constant affine before the fused attention kernel runs
+(ops/pallas_axial_train.py::fold_train_affine). Those statistics come from
+``logit_moments_lanes`` / ``qk_moments_lanes`` — six factorized reductions
+over q and k that avoid materializing the (S, g, L, L) logits (reference
+BatchNorm2d over the stacked qk/qr/kr similarities, axialnet.py:74-75).
+
+XLA lowers each of those einsums to a separate broadcast-multiply-reduce
+fusion: the contraction depth is c <= 8, nothing hits the MXU, and q/k are
+re-read from HBM per term — profiled as part of the ~sub-ms-op long tail
+that rivals the attention kernels themselves (ROADMAP.md "the long tail").
+This module computes ALL six moment sums in ONE pass over q/k per
+(group, stripe-block) program: the (L, Sb) tiles stay in VMEM and every
+term is VPU elementwise work sharing the same loads. The (c, d)-symmetric
+second-moment terms are halved via d >= c with weight 2.
+
+Layout contract matches the stripe-lane attention kernels
+(ops/pallas_axial_lanes.py): q, k are (g, c, L, S) with the huge stripe
+axis S on lanes. Tables are pre-reduced in XLA (cheap, O(c^2 L^2)):
+
+    r_q[c, i]    = sum_j qemb[c, i, j]
+    E_q[c, d, i] = sum_j qemb[c, i, j] qemb[d, i, j]
+    r_k[c, j]    = sum_i kemb[c, j, i]          (kemb in [c, j, i] coords,
+    E_k[c, d, j] = sum_i kemb[c, j, i] kemb[d, j, i]   as logit_moments)
+
+The custom VJP keeps the backward in XLA: the cotangents are 6 scalars per
+group, so the backward is a handful of einsums of the SAME cost autodiff
+would produce through the reference implementation — the kernel only
+de-duplicates the forward's HBM reads. Kernelizing the backward is a
+follow-up (see ROADMAP.md).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_F32 = jnp.float32
+
+# probe/A-B escape hatch: set False to force the XLA moment einsums
+MOMENTS_KERNEL_ENABLED = True
+
+_VMEM_BUDGET = 6 << 20  # same derating as pallas_axial_lanes._VMEM_BUDGET
+
+
+def _pick_sblock(S: int, c: int, L: int) -> int:
+    """Largest 128-multiple stripe block that divides S and fits VMEM.
+
+    Live f32 per lane: q + k blocks (2cL) plus the (L,)-tall working
+    products wq/wk and the (c,)-tall qs/ks partials, with 2x slack for
+    Mosaic pipeline buffers.
+    """
+    per_lane = 4 * (2 * c * L + 2 * L + 2 * c) * 2
+    cap = min(1024, _VMEM_BUDGET // per_lane, S)
+    for Sb in range((cap // 128) * 128, 0, -128):
+        if S % Sb == 0:
+            return Sb
+    return S if S * per_lane <= _VMEM_BUDGET else 0
+
+
+def _interpret_default(interpret: Optional[bool]) -> bool:
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+def _moments_kernel(q_ref, k_ref, rq_ref, eq_ref, rk_ref, ek_ref, out_ref,
+                    *, has_pos: bool):
+    """grid = (g, S // Sb); out accumulates (g, 8) moment sums.
+
+    Row layout per group: [s1_qk, s2_qk, s1_qr, s2_qr, s1_kr, s2_kr, 0, 0]
+    (first and second raw-moment sums; divide by n = S*L*L outside).
+    """
+    gi, si = pl.program_id(0), pl.program_id(1)
+    q, k = q_ref[0], k_ref[0]  # (c, L, Sb)
+    c = q.shape[0]
+
+    qs = jnp.sum(q, axis=1)  # (c, Sb)
+    ks = jnp.sum(k, axis=1)
+    s1_qk = jnp.sum(qs * ks)
+
+    z = jnp.zeros((), _F32)
+    s2_qk, s2_qr, s2_kr = z, z, z
+    for ci in range(c):
+        for di in range(ci, c):
+            f = 1.0 if di == ci else 2.0
+            wq = q[ci] * q[di]  # (L, Sb)
+            wk = k[ci] * k[di]
+            # m2_qk couples qq and kk per stripe: sum_s (sum_l wq)(sum_l wk)
+            s2_qk += f * jnp.sum(jnp.sum(wq, axis=0) * jnp.sum(wk, axis=0))
+            if has_pos:
+                s2_qr += f * jnp.sum(wq * eq_ref[ci, di][:, None])
+                s2_kr += f * jnp.sum(wk * ek_ref[ci, di][:, None])
+    if has_pos:
+        s1_qr = jnp.sum(q * rq_ref[...][:, :, None])
+        s1_kr = jnp.sum(k * rk_ref[...][:, :, None])
+    else:
+        s1_qr = s1_kr = z
+
+    row = jnp.stack([s1_qk, s2_qk, s1_qr, s2_qr, s1_kr, s2_kr, z, z])
+
+    @pl.when(si == 0)
+    def _():
+        out_ref[pl.ds(gi, 1), :] = row[None]
+
+    @pl.when(si != 0)
+    def _():
+        out_ref[pl.ds(gi, 1), :] = out_ref[pl.ds(gi, 1), :] + row[None]
+
+
+@jax.custom_vjp
+def moment_sums_core(q, k, r_q, e_q, r_k, e_k):
+    """One-pass moment sums, (g, 8) (see _moments_kernel row layout).
+
+    q, k: (g, c, L, S); r_q/r_k: (c, L); e_q/e_k: (c, c, L). Pass
+    zero-size (0, L) / (0, 0, L) tables for the wopos (qk-only) variant.
+    """
+    return _sums_fwd(q, k, r_q, e_q, r_k, e_k)
+
+
+def _sums_fwd(q, k, r_q, e_q, r_k, e_k, interpret=None):
+    interpret = _interpret_default(interpret)
+    g, c, L, S = q.shape
+    has_pos = r_q.shape[0] > 0
+    Sb = _pick_sblock(S, c, L)
+    assert Sb >= 1, (S, c, L)
+    grid = (g, S // Sb)
+    qk_spec = pl.BlockSpec((1, c, L, Sb), lambda gi, si: (gi, 0, 0, si),
+                           memory_space=pltpu.VMEM)
+    if not has_pos:  # keep block shapes non-empty
+        r_q = jnp.zeros((1, L), _F32)
+        r_k = jnp.zeros((1, L), _F32)
+        e_q = jnp.zeros((1, 1, L), _F32)
+        e_k = jnp.zeros((1, 1, L), _F32)
+    r_spec = pl.BlockSpec(r_q.shape, lambda gi, si: (0, 0),
+                          memory_space=pltpu.VMEM)
+    e_spec = pl.BlockSpec(e_q.shape, lambda gi, si: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((g, 8), lambda gi, si: (0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_moments_kernel, has_pos=has_pos),
+        grid=grid,
+        in_specs=[qk_spec, qk_spec, r_spec, e_spec, r_spec, e_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((g, 8), _F32),
+        interpret=interpret,
+    )(q, k, r_q, e_q, r_k, e_k)
+
+
+def _sums_fwd_rule(q, k, r_q, e_q, r_k, e_k):
+    return _sums_fwd(q, k, r_q, e_q, r_k, e_k), (q, k, r_q, e_q, r_k, e_k)
+
+
+def _sums_bwd_rule(residuals, ct):
+    """XLA backward: same einsum count autodiff would produce (see module
+    docstring); ct is (g, 8)."""
+    q, k, r_q, e_q, r_k, e_k = residuals
+    has_pos = r_q.shape[0] > 0
+    qs = jnp.sum(q, axis=2)  # (g, c, S)
+    ks = jnp.sum(k, axis=2)
+    qq = jnp.einsum("gcls,gdls->gcds", q, q)  # (g, c, c, S)
+    kk = jnp.einsum("gcls,gdls->gcds", k, k)
+
+    c0 = ct[:, 0][:, None, None, None]  # s1_qk
+    c1 = ct[:, 1][:, None, None, None]  # s2_qk
+    dq = c0 * ks[:, :, None, :] + 2.0 * c1 * jnp.einsum(
+        "gcds,gdls->gcls", kk, q)
+    dk = c0 * qs[:, :, None, :] + 2.0 * c1 * jnp.einsum(
+        "gcds,gdls->gcls", qq, k)
+
+    if not has_pos:
+        zr = jnp.zeros_like(r_q)
+        ze = jnp.zeros_like(e_q)
+        return dq, dk, zr, ze, jnp.zeros_like(r_k), jnp.zeros_like(e_k)
+
+    c2 = ct[:, 2][:, None, None, None]  # s1_qr
+    c3 = ct[:, 3]                       # s2_qr
+    c4 = ct[:, 4][:, None, None, None]  # s1_kr
+    c5 = ct[:, 5]                       # s2_kr
+    dq = dq + c2 * r_q[None, :, :, None] + 2.0 * jnp.einsum(
+        "g,cdl,gdls->gcls", c3, e_q, q)
+    dk = dk + c4 * r_k[None, :, :, None] + 2.0 * jnp.einsum(
+        "g,cdl,gdls->gcls", c5, e_k, k)
+    dr_q = jnp.einsum("g,gcls->cl", ct[:, 2], q)
+    de_q = jnp.einsum("g,gcls,gdls->cdl", c3, q, q)
+    dr_k = jnp.einsum("g,gcls->cl", ct[:, 4], k)
+    de_k = jnp.einsum("g,gcls,gdls->cdl", c5, k, k)
+    return dq, dk, dr_q, de_q, dr_k, de_k
+
+
+moment_sums_core.defvjp(_sums_fwd_rule, _sums_bwd_rule)
+
+
+def moments_kernel_supported(span: int, gp: int, stripes: int) -> bool:
+    """Admission: lane axis long enough to fill (8, 128) tiles and the
+    stripe block fits VMEM (always true at the model geometries; tiny L
+    with short S falls back to the XLA einsums)."""
+    c = max(gp // 2, 1)
+    return (MOMENTS_KERNEL_ENABLED and stripes >= 128
+            and _pick_sblock(stripes, c, span) >= 128)
+
+
+def logit_moments_lanes_fused(q, k, qemb, kemb):
+    """Drop-in for pallas_axial_train.logit_moments_lanes: one kernel pass.
+
+    q, k: (g, c, L, S); qemb/kemb: (c, L, L) gate-folded tables in the
+    all_emb coordinates (kr reads kemb as [c, j, i]).
+    Returns (mean, var_biased, count) with mean/var shaped (3, g).
+    """
+    g, c, L, S = q.shape
+    n = S * L * L
+    r_q = jnp.sum(qemb, axis=2)                       # (c, i)
+    e_q = jnp.einsum("cij,dij->cdi", qemb, qemb)      # (c, c, i)
+    r_k = jnp.sum(kemb, axis=2)                       # (c, j)
+    e_k = jnp.einsum("cji,dji->cdj", kemb, kemb)      # (c, c, j)
+    sums = moment_sums_core(q, k, r_q, e_q, r_k, e_k)
+    mean = jnp.stack([sums[:, 0], sums[:, 2], sums[:, 4]]) / n
+    msq = jnp.stack([sums[:, 1], sums[:, 3], sums[:, 5]]) / n
+    var = jnp.maximum(msq - jnp.square(mean), 0.0)
+    return mean, var, n
+
+
+def qk_moments_lanes_fused(q, k):
+    """Drop-in for pallas_axial_train.qk_moments_lanes (wopos: qk only)."""
+    g, c, L, S = q.shape
+    n = S * L * L
+    zr = jnp.zeros((0, L), _F32)
+    ze = jnp.zeros((0, 0, L), _F32)
+    sums = moment_sums_core(q, k, zr, ze, zr, ze)
+    m1 = sums[:, 0] / n
+    m2 = sums[:, 1] / n
+    var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+    return m1, var, n
