@@ -49,14 +49,14 @@ MOMENTS_KERNEL_ENABLED = True
 _VMEM_BUDGET = 6 << 20  # same derating as pallas_axial_lanes._VMEM_BUDGET
 
 
-def _pick_sblock(S: int, c: int, L: int) -> int:
+def _pick_sblock(S: int, c: int, L: int, bwd: bool = False) -> int:
     """Largest 128-multiple stripe block that divides S and fits VMEM.
 
     Live f32 per lane: q + k blocks (2cL) plus the (L,)-tall working
     products wq/wk and the (c,)-tall qs/ks partials, with 2x slack for
-    Mosaic pipeline buffers.
+    Mosaic pipeline buffers; the backward adds the dq/dk output blocks.
     """
-    per_lane = 4 * (2 * c * L + 2 * L + 2 * c) * 2
+    per_lane = 4 * ((4 if bwd else 2) * c * L + 2 * L + 2 * c) * 2
     cap = min(1024, _VMEM_BUDGET // per_lane, S)
     for Sb in range((cap // 128) * 128, 0, -128):
         if S % Sb == 0:
@@ -158,9 +158,131 @@ def _sums_fwd_rule(q, k, r_q, e_q, r_k, e_k):
     return _sums_fwd(q, k, r_q, e_q, r_k, e_k), (q, k, r_q, e_q, r_k, e_k)
 
 
-def _sums_bwd_rule(residuals, ct):
-    """XLA backward: same einsum count autodiff would produce (see module
-    docstring); ct is (g, 8)."""
+def _moments_bwd_kernel(q_ref, k_ref, rq_ref, eq_ref, rk_ref, ek_ref, ct_ref,
+                        dq_ref, dk_ref, drq_ref, deq_ref, drk_ref, dek_ref,
+                        *, has_pos: bool):
+    """One-pass backward: dq/dk assembled per block, table grads accumulated
+    in resident constant-index blocks across the whole grid (the same
+    pattern as the attention backward's dqemb, pallas_axial_lanes.py)."""
+    gi, si = pl.program_id(0), pl.program_id(1)
+    ct = ct_ref[pl.ds(gi, 1), :][0]  # (8,)
+    q, k = q_ref[0], k_ref[0]        # (c, L, Sb)
+    c = q.shape[0]
+    qs = jnp.sum(q, axis=1)          # (c, Sb)
+    ks = jnp.sum(k, axis=1)
+
+    # pair products, reduced both ways: over L for the per-stripe qq/kk
+    # (s2_qk chain) and over Sb for the e-table grads
+    qq = [[None] * c for _ in range(c)]
+    kk = [[None] * c for _ in range(c)]
+    qql = [[None] * c for _ in range(c)]
+    kkl = [[None] * c for _ in range(c)]
+    for ci in range(c):
+        for di in range(ci, c):
+            wq = q[ci] * q[di]  # (L, Sb)
+            wk = k[ci] * k[di]
+            qq[ci][di] = qq[di][ci] = jnp.sum(wq, axis=0)   # (Sb,)
+            kk[ci][di] = kk[di][ci] = jnp.sum(wk, axis=0)
+            if has_pos:
+                qql[ci][di] = qql[di][ci] = jnp.sum(wq, axis=1)  # (L,)
+                kkl[ci][di] = kkl[di][ci] = jnp.sum(wk, axis=1)
+
+    dq_rows, dk_rows = [], []
+    for ci in range(c):
+        acc_q = kk[ci][0][None, :] * q[0]
+        acc_k = qq[ci][0][None, :] * k[0]
+        for di in range(1, c):
+            acc_q += kk[ci][di][None, :] * q[di]
+            acc_k += qq[ci][di][None, :] * k[di]
+        dqc = ct[0] * ks[ci][None, :] + 2.0 * ct[1] * acc_q
+        dkc = ct[0] * qs[ci][None, :] + 2.0 * ct[1] * acc_k
+        if has_pos:
+            acc_eq = eq_ref[ci, 0][:, None] * q[0]
+            acc_ek = ek_ref[ci, 0][:, None] * k[0]
+            for di in range(1, c):
+                acc_eq += eq_ref[ci, di][:, None] * q[di]
+                acc_ek += ek_ref[ci, di][:, None] * k[di]
+            dqc += ct[2] * rq_ref[ci][:, None] + 2.0 * ct[3] * acc_eq
+            dkc += ct[4] * rk_ref[ci][:, None] + 2.0 * ct[5] * acc_ek
+        dq_rows.append(dqc)
+        dk_rows.append(dkc)
+    dq_ref[0] = jnp.stack(dq_rows)
+    dk_ref[0] = jnp.stack(dk_rows)
+
+    if has_pos:
+        drq = ct[2] * jnp.sum(q, axis=2)  # (c, L)
+        drk = ct[4] * jnp.sum(k, axis=2)
+        deq = ct[3] * jnp.stack(
+            [jnp.stack([qql[ci][di] for di in range(c)]) for ci in range(c)])
+        dek = ct[5] * jnp.stack(
+            [jnp.stack([kkl[ci][di] for di in range(c)]) for ci in range(c)])
+        first = jnp.logical_and(gi == 0, si == 0)
+
+        @pl.when(first)
+        def _():
+            drq_ref[...] = drq
+            deq_ref[...] = deq
+            drk_ref[...] = drk
+            dek_ref[...] = dek
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            drq_ref[...] = drq_ref[...] + drq
+            deq_ref[...] = deq_ref[...] + deq
+            drk_ref[...] = drk_ref[...] + drk
+            dek_ref[...] = dek_ref[...] + dek
+
+
+def _sums_bwd_kernel_call(q, k, r_q, e_q, r_k, e_k, ct, Sb, interpret):
+    g, c, L, S = q.shape
+    has_pos = r_q.shape[0] > 0
+    grid = (g, S // Sb)
+    qk_spec = pl.BlockSpec((1, c, L, Sb), lambda gi, si: (gi, 0, 0, si),
+                           memory_space=pltpu.VMEM)
+    rq_in, rk_in, eq_in, ek_in = r_q, r_k, e_q, e_k
+    if not has_pos:
+        rq_in = rk_in = jnp.zeros((1, L), _F32)
+        eq_in = ek_in = jnp.zeros((1, 1, L), _F32)
+    r_spec = pl.BlockSpec(rq_in.shape, lambda gi, si: (0, 0),
+                          memory_space=pltpu.VMEM)
+    e_spec = pl.BlockSpec(eq_in.shape, lambda gi, si: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    ct_spec = pl.BlockSpec((g, 8), lambda gi, si: (0, 0),
+                           memory_space=pltpu.VMEM)
+    dq, dk, drq, deq, drk, dek = pl.pallas_call(
+        functools.partial(_moments_bwd_kernel, has_pos=has_pos),
+        grid=grid,
+        in_specs=[qk_spec, qk_spec, r_spec, e_spec, r_spec, e_spec, ct_spec],
+        out_specs=(qk_spec, qk_spec, r_spec, e_spec, r_spec, e_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, c, L, S), _F32),
+            jax.ShapeDtypeStruct((g, c, L, S), _F32),
+            jax.ShapeDtypeStruct(rq_in.shape, _F32),
+            jax.ShapeDtypeStruct(eq_in.shape, _F32),
+            jax.ShapeDtypeStruct(rk_in.shape, _F32),
+            jax.ShapeDtypeStruct(ek_in.shape, _F32),
+        ),
+        interpret=interpret,
+    )(q, k, rq_in, eq_in, rk_in, ek_in, ct)
+    if not has_pos:
+        zr, ze = jnp.zeros_like(r_q), jnp.zeros_like(e_q)
+        return dq, dk, zr, ze, jnp.zeros_like(r_k), jnp.zeros_like(e_k)
+    return dq, dk, drq, deq, drk, dek
+
+
+def _sums_bwd_rule(residuals, ct, interpret=None):
+    q, k, r_q, e_q, r_k, e_k = residuals
+    g, c, L, S = q.shape
+    Sb = _pick_sblock(S, c, L, bwd=True)
+    if Sb >= 128:
+        return _sums_bwd_kernel_call(q, k, r_q, e_q, r_k, e_k, ct, Sb,
+                                     _interpret_default(interpret))
+    return _sums_bwd_xla(residuals, ct)
+
+
+def _sums_bwd_xla(residuals, ct):
+    """XLA fallback backward: same einsum count autodiff would produce
+    (see module docstring); ct is (g, 8)."""
     q, k, r_q, e_q, r_k, e_k = residuals
     has_pos = r_q.shape[0] > 0
     qs = jnp.sum(q, axis=2)  # (g, c, S)

@@ -96,6 +96,53 @@ def test_gradients_match_reference_wopos():
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
 
 
+def _grad_pair(q, k, qemb, kemb, wm, wv):
+    def loss(fn, q, k, qe, ke):
+        m, v, _ = fn(q, k, qe, ke)
+        return jnp.sum(m * wm) + jnp.sum(v * wv)
+
+    g_ref = jax.grad(lambda *a: loss(logit_moments_lanes, *a),
+                     argnums=(0, 1, 2, 3))(q, k, qemb, kemb)
+    g_fus = jax.grad(lambda *a: loss(pm.logit_moments_lanes_fused, *a),
+                     argnums=(0, 1, 2, 3))(q, k, qemb, kemb)
+    return g_ref, g_fus
+
+
+def test_backward_kernel_multi_block(monkeypatch):
+    """Small budget forces several stripe blocks in BOTH directions, so the
+    backward kernel's resident table-grad accumulation runs."""
+    monkeypatch.setattr(pm, "_VMEM_BUDGET", 1 << 17)
+    rng = np.random.default_rng(5)
+    g, c, L, S = 2, 2, 8, 512
+    assert 128 <= pm._pick_sblock(S, c, L, bwd=True) < S
+    q, k = _rand(rng, g, c, L, S), _rand(rng, g, c, L, S)
+    qemb, kemb = _rand(rng, c, L, L), _rand(rng, c, L, L)
+    wm, wv = _rand(rng, 3, g), _rand(rng, 3, g)
+    g_ref, g_fus = _grad_pair(q, k, qemb, kemb, wm, wv)
+    for a, b in zip(g_ref, g_fus):
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
+
+
+def test_backward_xla_fallback_matches():
+    """The XLA fallback backward (used when no stripe block admits) must
+    produce the same grads as the kernel."""
+    rng = np.random.default_rng(6)
+    g, c, L, S = 2, 2, 8, 128
+    q, k = _rand(rng, g, c, L, S), _rand(rng, g, c, L, S)
+    qemb, kemb = _rand(rng, c, L, L), _rand(rng, c, L, L)
+    r_q = jnp.sum(qemb, axis=2)
+    e_q = jnp.einsum("cij,dij->cdi", qemb, qemb)
+    r_k = jnp.sum(kemb, axis=2)
+    e_k = jnp.einsum("cji,dji->cdj", kemb, kemb)
+    res = (q, k, r_q, e_q, r_k, e_k)
+    ct = _rand(np.random.default_rng(7), g, 8)
+    out_k = pm._sums_bwd_kernel_call(*res, ct, pm._pick_sblock(S, c, L, True),
+                                     interpret=True)
+    out_x = pm._sums_bwd_xla(res, ct)
+    for a, b in zip(out_x, out_k):
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
+
+
 def test_admission():
     assert pm.moments_kernel_supported(16, 4, 3584)
     assert pm.moments_kernel_supported(64, 8, 512)
