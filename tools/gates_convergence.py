@@ -95,7 +95,16 @@ def main(argv=None):
     p.add_argument("--n_val", type=int, default=8)
     p.add_argument("--data_seed", type=int, default=0)
     p.add_argument("--outdir", default="")
+    p.add_argument("--platform", default="",
+                   help="pin a jax platform (e.g. cpu); the env preimports "
+                        "jax on the axon TPU plugin, so JAX_PLATFORMS=cpu in "
+                        "the shell is too late — this uses jax.config.update "
+                        "before any backend init (same as tests/conftest.py)")
     args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     from medt_tpu.data.synthetic import make_png_dataset
 
