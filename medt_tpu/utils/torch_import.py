@@ -1,10 +1,13 @@
-"""Import PyTorch reference checkpoints into medt_tpu models.
+"""Import/export PyTorch reference checkpoints for medt_tpu models.
 
 Users of the reference train with ``torch.save(model.state_dict())``
 (reference train.py:216-217); this module maps such a state dict onto this
 framework's param/batch_stats trees so existing checkpoints keep working —
 including stripping the ``module.`` DataParallel prefix, the capability of
 the reference's ``convert_model`` (reference lib/utils.py:163-167).
+``export_state_dict`` is the exact inverse: weights trained here round-trip
+back into the reference's tooling (``torch.save(export_state_dict(...))``
+loads via ``model.load_state_dict`` there, reference test.py:105).
 
 Layout translation (reference -> here):
   * conv weights OIHW -> HWIO
@@ -150,3 +153,94 @@ def import_state_dict(state_dict: Dict[str, np.ndarray], params, batch_stats):
             + "; ".join(f"{a} -> {b}" for a, b in missing[:5])
         )
     return new_params, new_stats
+
+
+def _untransform(val: np.ndarray, path: Tuple[str, ...]) -> np.ndarray:
+    """Inverse of ``_transform``: framework leaf -> reference tensor."""
+    val = np.asarray(val)
+    leaf = path[-1]
+    if leaf == "kernel":
+        if val.ndim == 4:                 # conv HWIO -> OIHW
+            return val.transpose(3, 2, 0, 1)
+        if "qkv" in path:                 # dense (I, O) -> conv1d (O, I, 1)
+            return val.T[:, :, None]
+        if val.ndim == 2:                 # linear (I, O) -> (O, I)
+            return val.T
+    # structured BN features (bn_similarity (3,g), bn_output (g,gp,2)) ->
+    # the reference's flat channel vectors; everything else (e.g. the 2-D
+    # `relative` position table) keeps its shape
+    if val.ndim > 1 and (leaf in ("scale", "bias", "mean", "var")
+                         or _ATTN_FLAT.match(leaf)):
+        return val.reshape(-1)
+    return val
+
+
+def export_state_dict(params, batch_stats) -> Dict[str, np.ndarray]:
+    """Framework param/batch_stats trees -> reference-format state dict.
+
+    Exact inverse of ``import_state_dict`` (round-trip tested): the result
+    feeds ``torch.save`` / ``model.load_state_dict`` in the reference.
+    Not emitted (load with ``strict=False`` there): BatchNorm
+    ``num_batches_tracked`` counters, and the reference's DEAD parameters
+    this framework doesn't carry — ``medt_net.adjust_p`` and the wopos
+    blocks' never-called ``conv1`` (reference axialnet.py:358) — none of
+    which affect any computation.
+    """
+    out: Dict[str, np.ndarray] = {}
+
+    def visit(path, leaf):
+        parts = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
+        key = _translate(parts)
+        if key in out:
+            raise KeyError(f"duplicate export key {key} from {parts}")
+        out[key] = _untransform(leaf, parts)
+        if parts[-1] == "relative":
+            # the reference registers the derived gather index as a buffer
+            # (axialnet.py:42-46: (key - query + span - 1).view(-1)); emit
+            # it so strict load_state_dict succeeds
+            span = (np.asarray(leaf).shape[1] + 1) // 2
+            r = np.arange(span, dtype=np.int64)
+            idx = (r[:, None] - r[None, :] + span - 1).reshape(-1)
+            out[key.rsplit(".", 1)[0] + ".flatten_index"] = idx
+
+    jax.tree_util.tree_map_with_path(visit, params)
+    jax.tree_util.tree_map_with_path(visit, batch_stats)
+    return out
+
+
+# frozen gate constants per gated factory (reference axialnet.py:124-127
+# creates them requires_grad=False; gated_sig uses f_sv=5.0,
+# model_codes.py:241-244). Only needed when gates are NOT in the param tree
+# (trainable_gates=False — the released reference's setting).
+_FROZEN_GATES = {
+    "gatedaxialunet": (0.1, 0.1, 0.1, 1.0),
+    "gated": (0.1, 0.1, 0.1, 1.0),
+    "MedT": (0.1, 0.1, 0.1, 1.0),
+    "medt_512": (0.1, 0.1, 0.1, 1.0),
+    "gated_sig": (0.1, 0.1, 0.1, 5.0),
+}
+
+
+def export_for_model(modelname: str, params, batch_stats
+                     ) -> Dict[str, np.ndarray]:
+    """``export_state_dict`` plus the frozen gate parameters the named
+    reference factory expects.
+
+    Gated factories store f_qr/f_kr/f_sve/f_sv as (frozen) Parameters in
+    their state dicts. When gates were trained here (trainable_gates=True)
+    they are already in ``params`` and export naturally; otherwise this
+    injects the factory's constants next to every gated attention module.
+    In all gated factories the gated modules are exactly the
+    position-bearing ones (MedT's local branch is wopos — no `relative`,
+    no gates), so the `relative`-table prefixes identify them.
+    """
+    out = export_state_dict(params, batch_stats)
+    gates = _FROZEN_GATES.get(modelname)
+    if gates is None:
+        return out
+    names = ("f_qr", "f_kr", "f_sve", "f_sv")
+    for key in [k for k in out if k.endswith(".relative")]:
+        prefix = key.rsplit(".", 1)[0]
+        for name, val in zip(names, gates):
+            out.setdefault(f"{prefix}.{name}", np.asarray(val, np.float32))
+    return out
