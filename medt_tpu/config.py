@@ -59,6 +59,10 @@ class Config:
     dp: Optional[int] = None
     sp: Optional[int] = None
     tp: Optional[int] = None
+    # multi-slice (DCN) topology: None = auto-detect from device
+    # slice_index; >1 pins the slice count (data axis spans slices,
+    # seq/model stay on ICI — see parallel/mesh.py::make_mesh)
+    num_slices: Optional[int] = None
     # serving (cli/serve.py)
     port: int = 8900
     # backend override: the sandbox preimports jax with its own platform and

@@ -29,14 +29,53 @@ def auto_mesh_shape(n_devices: int, tp: Optional[int] = None,
     return dp, sp, tp
 
 
+def detect_slices(devices) -> int:
+    """Number of distinct ICI domains (TPU slices) among ``devices``.
+
+    Multi-slice jobs expose ``slice_index`` per device; single-slice and
+    CPU/virtual devices report 1.
+    """
+    return len({getattr(d, "slice_index", 0) or 0 for d in devices})
+
+
 def make_mesh(n_devices: Optional[int] = None, *, dp: Optional[int] = None,
               sp: Optional[int] = None, tp: Optional[int] = None,
-              devices=None) -> Mesh:
+              slices: Optional[int] = None, devices=None) -> Mesh:
+    """Build the (data, seq, model) mesh, DCN-aware across TPU slices.
+
+    With multiple slices (detected from ``slice_index`` or forced via
+    ``slices``), devices are grouped so that the seq/model axes stay WITHIN
+    a slice (their collectives — all_gathers of width shards, attention-
+    group psums — ride ICI every step) and only the data axis spans
+    slices: its one gradient psum per step is the sole DCN traffic,
+    hierarchically reduced (intra-slice first) by XLA. This is the
+    framework's multi-slice scaling story; the reference has no equivalent
+    (its only parallelism is single-process DataParallel, train.py:104-108).
+    """
     devices = devices if devices is not None else jax.devices()
     n = n_devices or len(devices)
+    devices = list(devices[:n])
+    if slices is None:
+        slices = detect_slices(devices)
     if dp is None:
-        dp, sp, tp = auto_mesh_shape(n, tp=tp, sp=sp)
-    grid = np.asarray(devices[:n]).reshape(dp, sp, tp)
+        if slices > 1:
+            assert n % slices == 0, (n, slices)
+            dpi, sp, tp = auto_mesh_shape(n // slices, tp=tp, sp=sp)
+            dp = slices * dpi
+        else:
+            dp, sp, tp = auto_mesh_shape(n, tp=tp, sp=sp)
+    assert dp % slices == 0, (
+        f"data axis ({dp}) must be a multiple of the slice count ({slices}) "
+        "— seq/model axes may not span the DCN")
+    if slices > 1:
+        # order devices slice-major so reshape(dp, sp, tp) puts each
+        # slice's chips contiguously along (seq, model) and per-slice
+        # data-parallel groups, with the slice boundary falling on the
+        # OUTER data axis only
+        devices = sorted(
+            devices, key=lambda d: (getattr(d, "slice_index", 0) or 0,
+                                    d.id))
+    grid = np.asarray(devices).reshape(dp, sp, tp)
     return Mesh(grid, AXES)
 
 

@@ -80,7 +80,8 @@ def setup_state(cfg: Config, steps_per_epoch: int) -> TrainState:
     if len(jax.devices()) > 1:
         from ..parallel import make_mesh, shard_state
 
-        mesh = make_mesh(dp=cfg.dp, sp=cfg.sp, tp=cfg.tp)
+        mesh = make_mesh(dp=cfg.dp, sp=cfg.sp, tp=cfg.tp,
+                         slices=cfg.num_slices)
         state = shard_state(state, mesh)
     return state
 

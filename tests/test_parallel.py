@@ -95,3 +95,32 @@ def test_pure_dp_mesh():
     bt = shard_batch(batch, mesh)
     s2, m2 = jax.jit(train_step)(st, bt)
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_detect_slices_and_slice_major_grouping():
+    """Multi-slice jobs expose slice_index; the mesh must keep seq/model
+    inside a slice and let only the data axis cross the DCN."""
+    from medt_tpu.parallel.mesh import detect_slices
+
+    class Dev:
+        def __init__(self, i, s):
+            self.id, self.slice_index = i, s
+
+    # interleaved enumeration order, as multi-process jobs produce
+    devs = [Dev(i, i % 2) for i in range(8)]
+    assert detect_slices(devs) == 2
+    assert detect_slices(jax.devices()) == 1  # CPU devices: single domain
+
+
+def test_make_mesh_multislice_shape_and_grouping():
+    """slices=2 on 8 devices: per-slice (1,2,2) factorization -> global
+    (data=2, seq=2, model=2) with each slice's 4 devices contiguous in one
+    data row (seq/model collectives never cross the slice boundary)."""
+    mesh = make_mesh(slices=2)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "data": 2, "seq": 2, "model": 2}
+    row_ids = [sorted(d.id for d in mesh.devices[i].ravel()) for i in (0, 1)]
+    assert row_ids == [[0, 1, 2, 3], [4, 5, 6, 7]]
+
+    with pytest.raises(AssertionError):
+        make_mesh(dp=1, sp=2, tp=4, slices=2)  # data axis can't span < slices
