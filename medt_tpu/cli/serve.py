@@ -39,13 +39,7 @@ def make_handler(engine: InferenceEngine):
             if self.path != "/healthz":
                 self.send_error(404)
                 return
-            body = json.dumps({
-                "status": "ok",
-                "batches_run": engine.batches_run,
-                "images_run": engine.images_run,
-                "batch_size": engine.batch_size,
-                "imgsize": engine.imgsize,
-            }).encode()
+            body = json.dumps({"status": "ok", **engine.stats()}).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))

@@ -39,6 +39,8 @@ from __future__ import annotations
 import itertools
 import queue
 import threading
+import time
+from collections import deque
 from concurrent.futures import Future
 from typing import List, Optional, Sequence
 
@@ -154,6 +156,9 @@ class InferenceEngine:
         self._lock = threading.Lock()
         self.batches_run = 0
         self.images_run = 0
+        # last-N request latencies (enqueue -> result), seconds; bounded so
+        # a long-lived server never grows
+        self._latencies: deque = deque(maxlen=1024)
 
     # ---- synchronous API ---------------------------------------------------
 
@@ -226,8 +231,29 @@ class InferenceEngine:
         if self._worker is None:
             raise RuntimeError("engine not started; call start()")
         fut: "Future[np.ndarray]" = Future()
+        t0 = time.perf_counter()
+        fut.add_done_callback(
+            lambda f: self._latencies.append(time.perf_counter() - t0))
         self._queue.put((priority, next(self._seq), self._check(image), fut))
         return fut
+
+    def stats(self) -> dict:
+        """Counters plus request-latency percentiles (enqueue -> result,
+        last 1024 submit() requests) for /healthz."""
+        out = {
+            "batches_run": self.batches_run,
+            "images_run": self.images_run,
+            "batch_size": self.batch_size,
+            "imgsize": self.imgsize,
+        }
+        lat = sorted(self._latencies)
+        if lat:
+            def pct(p):
+                return round(lat[min(len(lat) - 1,
+                                     int(p / 100.0 * len(lat)))] * 1e3, 2)
+            out["latency_ms"] = {"count": len(lat), "p50": pct(50),
+                                 "p90": pct(90), "p99": pct(99)}
+        return out
 
     def _serve_loop(self):
         while not self._stop.is_set():

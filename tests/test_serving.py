@@ -189,3 +189,20 @@ def test_mesh_serving_rejects_indivisible_batch():
     with pytest.raises(ValueError):
         InferenceEngine("axialunet", SIZE, variables={}, batch_size=6,
                         mesh=mesh)
+
+
+def test_latency_stats(engine):
+    eng = InferenceEngine("axialunet", SIZE, variables=engine._variables,
+                          batch_size=2, max_wait_ms=1.0)
+    eng.start()
+    try:
+        futs = [eng.submit(_img(i)) for i in range(4)]
+        for f in futs:
+            f.result(timeout=120)
+        stats = eng.stats()
+        assert stats["images_run"] == 4
+        lat = stats["latency_ms"]
+        assert lat["count"] == 4
+        assert 0 <= lat["p50"] <= lat["p90"] <= lat["p99"]
+    finally:
+        eng.stop()
