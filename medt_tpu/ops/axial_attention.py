@@ -334,9 +334,14 @@ class AxialAttention(nn.Module):
             # kernels' (g, ch, L, S) layout — no intermediate 5D relayout;
             # moments consume it via the *_lanes variants (the whole op —
             # qkv in, BN'd output out — then needs exactly two big copies
-            # instead of the six of the stripe-major chain)
+            # instead of the six of the stripe-major chain). bf16
+            # activations stay bf16 through the transpose AND into the
+            # kernels (halved copy + kernel-load HBM traffic); the kernels
+            # upcast once in VMEM, which is exact
+            kdt = (jnp.bfloat16 if qkv.dtype == jnp.bfloat16
+                   else jnp.float32)
             qkv_l = jnp.transpose(qkv, (3, 1, 0, 2)) \
-                .reshape(g, 2 * gp, L, S).astype(jnp.float32)
+                .reshape(g, 2 * gp, L, S).astype(kdt)
             q, k, v = qkv_l[:, :c], qkv_l[:, c:gp], qkv_l[:, gp:]
         else:
             stripes = qkv.reshape(n, L, m, g, 2 * gp) \

@@ -97,13 +97,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref, aff_ref,
     # sublane tiling rule); each program reads its own row via pl.ds (a
     # plain [i] with a traced index is a gather, which has no Mosaic rule).
     aff = aff_ref[pl.ds(pl.program_id(0), 1), :][0]
-    logits = _qk_lanes(q_ref[0], k_ref[0]) * aff[0] + aff[1]
+    # q/k/v may arrive bf16 (halved HBM loads); upcast ONCE in VMEM — exact,
+    # so the bf16-input path matches upcasting outside the kernel bit-for-bit
+    q, k, v = (r[0].astype(_F32) for r in (q_ref, k_ref, v_ref))
+    logits = _qk_lanes(q, k) * aff[0] + aff[1]
     if has_pos:
-        qr, kr = _pos_logits(q_ref[0], k_ref[0], qemb_ref[...],
-                             kembt_ref[...])
+        qr, kr = _pos_logits(q, k, qemb_ref[...], kembt_ref[...])
         logits = logits + (qr * aff[2] + aff[3]) + (kr * aff[4] + aff[5])
     sim = _softmax_j(logits)
-    sv_ref[0] = _sv_lanes(sim, v_ref[0])
+    sv_ref[0] = _sv_lanes(sim, v)
     if has_pos:
         sve_ref[0] = _sve_lanes(sim, vemb_ref[...])
 
@@ -122,7 +124,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref, aff_ref,
     gi = pl.program_id(0)
     si = pl.program_id(1)
     aff = aff_ref[pl.ds(gi, 1), :][0]
-    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    q, k, v = (r[0].astype(_F32) for r in (q_ref, k_ref, v_ref))
     dsv = dsv_ref[0]
     c, gp = q.shape[0], v.shape[0]
 
@@ -136,7 +138,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref, aff_ref,
 
     # dv[p, j, s] = sum_i dsv[p, i, s] sim[i, j, s]
     dv_ref[0] = jnp.stack(
-        [jnp.sum(dsv[p][:, None, :] * sim, axis=0) for p in range(gp)])
+        [jnp.sum(dsv[p][:, None, :] * sim, axis=0)
+         for p in range(gp)]).astype(dv_ref.dtype)
 
     # dsim[i,j,s] = sum_p dsv[p,i,s] v[p,j,s] (+ sum_p dsve[p,i,s] vemb[p,i,j])
     dsim = dsv[0][:, None, :] * v[0][None, :, :]
@@ -175,11 +178,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref, aff_ref,
         dq_ref[0] = jnp.stack(
             [jnp.sum(d_qk * k[ci][None, :, :], axis=1)
              + jnp.sum(d_qr * qemb[ci][:, :, None], axis=1)
-             for ci in range(c)])
+             for ci in range(c)]).astype(dq_ref.dtype)
         dk_ref[0] = jnp.stack(
             [jnp.sum(d_qk * q[ci][:, None, :], axis=0)
              + jnp.sum(d_kr * kemb_t[ci][:, :, None], axis=0)
-             for ci in range(c)])
+             for ci in range(c)]).astype(dk_ref.dtype)
         # table grads (tables shared across groups): accumulated over the
         # ENTIRE grid in resident constant-index blocks
         dqe = jnp.stack([jnp.sum(d_qr * q[ci][:, None, :], axis=2)
@@ -203,9 +206,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref, aff_ref,
             dvemb_ref[...] = dvemb_ref[...] + dve
     else:
         dq_ref[0] = jnp.stack(
-            [jnp.sum(d_qk * k[ci][None, :, :], axis=1) for ci in range(c)])
+            [jnp.sum(d_qk * k[ci][None, :, :], axis=1)
+             for ci in range(c)]).astype(dq_ref.dtype)
         dk_ref[0] = jnp.stack(
-            [jnp.sum(d_qk * q[ci][:, None, :], axis=0) for ci in range(c)])
+            [jnp.sum(d_qk * q[ci][:, None, :], axis=0)
+             for ci in range(c)]).astype(dk_ref.dtype)
 
 
 _VMEM_BUDGET = 6 << 20  # of the ~16MB/core; the estimates below measure
@@ -347,9 +352,9 @@ def _bwd_rule(residuals, grads, interpret=None):
         out_specs=(qk_spec, qk_spec, v_spec, cemb_spec, cemb_spec, pemb_spec,
                    aff_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((g, c, L, S), _F32),
-            jax.ShapeDtypeStruct((g, c, L, S), _F32),
-            jax.ShapeDtypeStruct((g, gp, L, S), _F32),
+            jax.ShapeDtypeStruct((g, c, L, S), q.dtype),
+            jax.ShapeDtypeStruct((g, c, L, S), k.dtype),
+            jax.ShapeDtypeStruct((g, gp, L, S), v.dtype),
             jax.ShapeDtypeStruct((ce, L, L), _F32),
             jax.ShapeDtypeStruct((ce, L, L), _F32),
             jax.ShapeDtypeStruct((pe, L, L), _F32),
@@ -418,8 +423,9 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref,
     _JB = jb_size
     aff = aff_ref[pl.ds(pl.program_id(0), 1), :][0]
     # read blocks fully into arrays first: partial slices with None on a
-    # deferred ref transform fail the Mosaic kernel trace
-    q, k, v = q_ref[...][0], k_ref[...][0], v_ref[...][0]
+    # deferred ref transform fail the Mosaic kernel trace. Upcast once in
+    # VMEM: bf16 inputs (halved HBM loads) match the f32 path exactly.
+    q, k, v = (r[...][0].astype(_F32) for r in (q_ref, k_ref, v_ref))
     c, gp, Sb = q.shape[0], v.shape[0], q.shape[-1]
     Lq = q.shape[1]
     neg = jnp.full((Lq, 1, Sb), -1e30, _F32)
@@ -474,7 +480,7 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref,
     gi = pl.program_id(0)
     si = pl.program_id(1)
     aff = aff_ref[pl.ds(gi, 1), :][0]
-    q, k, v = q_ref[...][0], k_ref[...][0], v_ref[...][0]
+    q, k, v = (r[...][0].astype(_F32) for r in (q_ref, k_ref, v_ref))
     c, gp, Sb = q.shape[0], v.shape[0], q.shape[-1]
     m = m_ref[...][0][:, None, :]
     inv_l = (1.0 / l_ref[...][0])[:, None, :]
@@ -530,17 +536,18 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref,
 
         # dv[p, j, s] = sum_i dsv[p,i,s] sim[i,j,s]  (write this j-slice)
         dv_ref[0, :, j0:j0 + _JB, :] = jnp.stack(
-            [jnp.sum(dsv[p][:, None, :] * sim, axis=0) for p in range(gp)])
+            [jnp.sum(dsv[p][:, None, :] * sim, axis=0)
+             for p in range(gp)]).astype(dv_ref.dtype)
         # dk[c, j, s] = sum_i d_qk q[c,i,s] (+ sum_i d_kr kemb_t[c,i,j])
         if has_pos:
             dk_ref[0, :, j0:j0 + _JB, :] = jnp.stack(
                 [jnp.sum(d_qk * q[ci][:, None, :], axis=0)
                  + jnp.sum(d_kr * kemb_t[ci][:, j0:j0 + _JB][:, :, None], axis=0)
-                 for ci in range(c)])
+                 for ci in range(c)]).astype(dk_ref.dtype)
         else:
             dk_ref[0, :, j0:j0 + _JB, :] = jnp.stack(
                 [jnp.sum(d_qk * q[ci][:, None, :], axis=0)
-                 for ci in range(c)])
+                 for ci in range(c)]).astype(dk_ref.dtype)
         # dq accumulation over j-blocks
         for ci in range(c):
             t = jnp.sum(d_qk * k[ci][j0:j0 + _JB, :][None], axis=1)
@@ -573,7 +580,7 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref,
                 dvemb_ref[:, :, j0:j0 + _JB] = (
                     dvemb_ref[:, :, j0:j0 + _JB] + dve)
 
-    dq_ref[0] = jnp.stack(dq_acc)
+    dq_ref[0] = jnp.stack(dq_acc).astype(dq_ref.dtype)
 
     if has_pos:
         daff = jnp.stack([d_qk_sum, db, d_qr_sum, db, d_kr_sum, db,
@@ -712,9 +719,9 @@ def _flash_bwd_rule(residuals, grads, interpret=None):
         out_specs=(qk_spec, qk_spec, v_spec, cemb_spec, cemb_spec, pemb_spec,
                    aff_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((g, c, L, S), _F32),
-            jax.ShapeDtypeStruct((g, c, L, S), _F32),
-            jax.ShapeDtypeStruct((g, gp, L, S), _F32),
+            jax.ShapeDtypeStruct((g, c, L, S), q.dtype),
+            jax.ShapeDtypeStruct((g, c, L, S), k.dtype),
+            jax.ShapeDtypeStruct((g, gp, L, S), v.dtype),
             jax.ShapeDtypeStruct((ce, L, L), _F32),
             jax.ShapeDtypeStruct((ce, L, L), _F32),
             jax.ShapeDtypeStruct((pe, L, L), _F32),
@@ -795,14 +802,14 @@ def _flash2_fwd_kernel(q_ref, k_ref, v_ref, qembb_ref, kembtb_ref, vembb_ref,
                        *, has_pos: bool, L: int, jb_size: int):
     _JB = jb_size
     aff = aff_ref[pl.ds(pl.program_id(0), 1), :][0]
-    q = q_ref[...][0]                      # (c, Ib, Sb)
+    q = q_ref[...][0].astype(_F32)         # (c, Ib, Sb); exact bf16 upcast
     c, Ib, Sb = q.shape
     gp = v_ref.shape[1]
 
     def body(jb, carry):
         m, l, sv_acc, sve_acc = carry
         j0 = jb * _JB
-        kblk = k_ref[pl.ds(0, 1), :, pl.ds(j0, _JB), :][0]   # (c, _JB, Sb)
+        kblk = k_ref[pl.ds(0, 1), :, pl.ds(j0, _JB), :][0].astype(_F32)
         lg = q[0][:, None, :] * kblk[0][None]
         for ci in range(1, c):
             lg += q[ci][:, None, :] * kblk[ci][None]
@@ -822,7 +829,7 @@ def _flash2_fwd_kernel(q_ref, k_ref, v_ref, qembb_ref, kembtb_ref, vembb_ref,
         # stay on the slice path (None+int mixed indexing lowers as gather)
         e = jnp.exp(lg - m_new)                 # (Ib, _JB, Sb)
         l = l * alpha + jnp.sum(e, axis=1, keepdims=True)
-        vblk = v_ref[pl.ds(0, 1), :, pl.ds(j0, _JB), :][0]   # (gp, _JB, Sb)
+        vblk = v_ref[pl.ds(0, 1), :, pl.ds(j0, _JB), :][0].astype(_F32)
         sv_new = jnp.stack(
             [jnp.sum(e * vblk[p][None], axis=1) for p in range(gp)])
         sv_acc = sv_acc * alpha_p + sv_new
@@ -865,7 +872,7 @@ def _flash2_bwd_kernel(q_ref, k_ref, v_ref, qembb_ref, kembtb_ref, vembb_ref,
     gi = pl.program_id(0)
     ib = pl.program_id(2)
     aff = aff_ref[pl.ds(gi, 1), :][0]
-    q = q_ref[...][0]                       # (c, Ib, Sb)
+    q = q_ref[...][0].astype(_F32)          # (c, Ib, Sb)
     c, Ib, Sb = q.shape
     gp = v_ref.shape[1]
     m = m_ref[...][0][:, None, :]
@@ -883,8 +890,8 @@ def _flash2_bwd_kernel(q_ref, k_ref, v_ref, qembb_ref, kembtb_ref, vembb_ref,
         dq_acc = list(dq_acc)  # per-channel tuple: .at[ci].add on a stacked
         # array would lower as (unsupported) scatter-add
         j0 = jb * _JB
-        kblk = k_ref[pl.ds(0, 1), :, pl.ds(j0, _JB), :][0]
-        vblk = v_ref[pl.ds(0, 1), :, pl.ds(j0, _JB), :][0]
+        kblk = k_ref[pl.ds(0, 1), :, pl.ds(j0, _JB), :][0].astype(_F32)
+        vblk = v_ref[pl.ds(0, 1), :, pl.ds(j0, _JB), :][0].astype(_F32)
         qk = q[0][:, None, :] * kblk[0][None]
         for ci in range(1, c):
             qk += q[ci][:, None, :] * kblk[ci][None]
@@ -972,7 +979,7 @@ def _flash2_bwd_kernel(q_ref, k_ref, v_ref, qembb_ref, kembtb_ref, vembb_ref,
     dq_acc, d_qk_sum, d_qr_sum, d_kr_sum, db = jax.lax.fori_loop(
         0, L // _JB, body, init)
 
-    dq_ref[0] = jnp.stack(dq_acc)
+    dq_ref[0] = jnp.stack(dq_acc).astype(dq_ref.dtype)
 
     if has_pos:
         daff = jnp.stack([d_qk_sum, db, d_qr_sum, db, d_kr_sum, db, z, z])
@@ -1169,7 +1176,10 @@ def _flash2_bwd_rule(residuals, grads, interpret=None):
         out_specs=(q_spec, k_spec, v_spec, cpart_spec, cpart_spec, ppart_spec,
                    aff_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((g, c, L, S), _F32),
+            # dq is written once per program -> input dtype directly; dk/dv
+            # accumulate through their refs across the query-block sweep, so
+            # they stay f32 in-kernel and cast after
+            jax.ShapeDtypeStruct((g, c, L, S), q.dtype),
             jax.ShapeDtypeStruct((g, c, L, S), _F32),
             jax.ShapeDtypeStruct((g, gp, L, S), _F32),
             jax.ShapeDtypeStruct((g, nS, nI, ce, L, Ib), _F32),
@@ -1179,6 +1189,8 @@ def _flash2_bwd_rule(residuals, grads, interpret=None):
         ),
         interpret=interpret,
     )(q, k, v, qembb, kembtb, vembb, sim_affine, m, l, sv, sve, dsv, dsve)
+    dk = dk.astype(k.dtype)
+    dv = dv.astype(v.dtype)
 
     if not has_pos:
         zc = jnp.zeros((0, L, L), _F32)

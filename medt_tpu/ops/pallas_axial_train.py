@@ -461,6 +461,7 @@ def logit_moments_lanes(q, k, qemb, kemb):
     """
     g, c, L, S = q.shape
     n = S * L * L
+    q, k = q.astype(jnp.float32), k.astype(jnp.float32)  # bf16-safe sums
     qs = jnp.sum(q, axis=2)                            # (g, c, S)
     ks = jnp.sum(k, axis=2)
     m1_qk = jnp.einsum("gcs,gcs->g", qs, ks) / n
@@ -488,6 +489,7 @@ def qk_moments_lanes(q, k):
     """``qk_moments`` for stripe-LANE layout inputs (g, c, L, S)."""
     g, c, L, S = q.shape
     n = S * L * L
+    q, k = q.astype(jnp.float32), k.astype(jnp.float32)  # bf16-safe sums
     qs = jnp.sum(q, axis=2)
     ks = jnp.sum(k, axis=2)
     m1 = jnp.einsum("gcs,gcs->g", qs, ks) / n

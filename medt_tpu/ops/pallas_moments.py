@@ -78,7 +78,8 @@ def _moments_kernel(q_ref, k_ref, rq_ref, eq_ref, rk_ref, ek_ref, out_ref,
     (first and second raw-moment sums; divide by n = S*L*L outside).
     """
     gi, si = pl.program_id(0), pl.program_id(1)
-    q, k = q_ref[0], k_ref[0]  # (c, L, Sb)
+    # bf16 inputs upcast once in VMEM — exact, matches upcasting outside
+    q, k = q_ref[0].astype(_F32), k_ref[0].astype(_F32)  # (c, L, Sb)
     c = q.shape[0]
 
     qs = jnp.sum(q, axis=1)  # (c, Sb)
@@ -166,7 +167,7 @@ def _moments_bwd_kernel(q_ref, k_ref, rq_ref, eq_ref, rk_ref, ek_ref, ct_ref,
     pattern as the attention backward's dqemb, pallas_axial_lanes.py)."""
     gi, si = pl.program_id(0), pl.program_id(1)
     ct = ct_ref[pl.ds(gi, 1), :][0]  # (8,)
-    q, k = q_ref[0], k_ref[0]        # (c, L, Sb)
+    q, k = q_ref[0].astype(_F32), k_ref[0].astype(_F32)  # (c, L, Sb)
     c = q.shape[0]
     qs = jnp.sum(q, axis=1)          # (c, Sb)
     ks = jnp.sum(k, axis=1)
@@ -206,8 +207,8 @@ def _moments_bwd_kernel(q_ref, k_ref, rq_ref, eq_ref, rk_ref, ek_ref, ct_ref,
             dkc += ct[4] * rk_ref[ci][:, None] + 2.0 * ct[5] * acc_ek
         dq_rows.append(dqc)
         dk_rows.append(dkc)
-    dq_ref[0] = jnp.stack(dq_rows)
-    dk_ref[0] = jnp.stack(dk_rows)
+    dq_ref[0] = jnp.stack(dq_rows).astype(dq_ref.dtype)
+    dk_ref[0] = jnp.stack(dk_rows).astype(dk_ref.dtype)
 
     if has_pos:
         drq = ct[2] * jnp.sum(q, axis=2)  # (c, L)
@@ -255,8 +256,8 @@ def _sums_bwd_kernel_call(q, k, r_q, e_q, r_k, e_k, ct, Sb, interpret):
         in_specs=[qk_spec, qk_spec, r_spec, e_spec, r_spec, e_spec, ct_spec],
         out_specs=(qk_spec, qk_spec, r_spec, e_spec, r_spec, e_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((g, c, L, S), _F32),
-            jax.ShapeDtypeStruct((g, c, L, S), _F32),
+            jax.ShapeDtypeStruct((g, c, L, S), q.dtype),
+            jax.ShapeDtypeStruct((g, c, L, S), k.dtype),
             jax.ShapeDtypeStruct(rq_in.shape, _F32),
             jax.ShapeDtypeStruct(eq_in.shape, _F32),
             jax.ShapeDtypeStruct(rk_in.shape, _F32),
@@ -284,6 +285,8 @@ def _sums_bwd_xla(residuals, ct):
     """XLA fallback backward: same einsum count autodiff would produce
     (see module docstring); ct is (g, 8)."""
     q, k, r_q, e_q, r_k, e_k = residuals
+    in_dt = (q.dtype, k.dtype)
+    q, k = q.astype(_F32), k.astype(_F32)  # einsums need f32 accumulation
     has_pos = r_q.shape[0] > 0
     qs = jnp.sum(q, axis=2)  # (g, c, S)
     ks = jnp.sum(k, axis=2)
@@ -300,7 +303,8 @@ def _sums_bwd_xla(residuals, ct):
     if not has_pos:
         zr = jnp.zeros_like(r_q)
         ze = jnp.zeros_like(e_q)
-        return dq, dk, zr, ze, jnp.zeros_like(r_k), jnp.zeros_like(e_k)
+        return (dq.astype(in_dt[0]), dk.astype(in_dt[1]), zr, ze,
+                jnp.zeros_like(r_k), jnp.zeros_like(e_k))
 
     c2 = ct[:, 2][:, None, None, None]  # s1_qr
     c3 = ct[:, 3]                       # s2_qr
@@ -314,7 +318,8 @@ def _sums_bwd_xla(residuals, ct):
     de_q = jnp.einsum("g,gcls,gdls->cdl", c3, q, q)
     dr_k = jnp.einsum("g,gcls->cl", ct[:, 4], k)
     de_k = jnp.einsum("g,gcls,gdls->cdl", c5, k, k)
-    return dq, dk, dr_q, de_q, dr_k, de_k
+    return (dq.astype(in_dt[0]), dk.astype(in_dt[1]),
+            dr_q, de_q, dr_k, de_k)
 
 
 moment_sums_core.defvjp(_sums_fwd_rule, _sums_bwd_rule)
