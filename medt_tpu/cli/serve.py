@@ -27,7 +27,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 from ..config import parse_config
-from ..serving import InferenceEngine
+from ..serving import InferenceEngine, QueueFullError
 
 
 def make_handler(engine: InferenceEngine):
@@ -72,6 +72,13 @@ def make_handler(engine: InferenceEngine):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            except QueueFullError as e:  # backpressure -> retry later
+                msg = str(e).encode()
+                self.send_response(503)
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", str(len(msg)))
+                self.end_headers()
+                self.wfile.write(msg)
             except Exception as e:  # report the failure, keep serving
                 msg = str(e).encode()[:1000]
                 self.send_response(400)

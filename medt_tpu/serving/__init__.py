@@ -1,4 +1,4 @@
 """TPU-native serving: batched inference engine + HTTP front end."""
-from .engine import InferenceEngine
+from .engine import InferenceEngine, QueueFullError
 
-__all__ = ["InferenceEngine"]
+__all__ = ["InferenceEngine", "QueueFullError"]

@@ -52,6 +52,11 @@ from ..metrics import logits_to_foreground
 from ..evaluation.sliding_window import sliding_window_inference
 
 
+class QueueFullError(RuntimeError):
+    """submit() backpressure signal: the bounded request queue is at
+    capacity. HTTP callers map this to 503 + Retry-After."""
+
+
 class InferenceEngine:
     """Fixed-shape batched segmentation inference with dynamic batching.
 
@@ -73,7 +78,8 @@ class InferenceEngine:
                  use_fused: bool = True, decision: str = "threshold",
                  window_stride: Optional[int] = None,
                  max_wait_ms: float = 5.0, dtype=jnp.float32,
-                 mesh: Optional[jax.sharding.Mesh] = None):
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 max_queue: int = 1024):
         from ..models import build_model
 
         self.imgsize = int(imgsize)
@@ -89,6 +95,7 @@ class InferenceEngine:
         self.decision = decision
         self.window_stride = int(window_stride or imgsize)
         self.max_wait_ms = float(max_wait_ms)
+        self.max_queue = int(max_queue)
 
         self.model = build_model(modelname, img_size=self.imgsize,
                                  imgchan=self.channels, dtype=dtype,
@@ -230,6 +237,11 @@ class InferenceEngine:
         ``priority`` first. Returns a Future resolving to the mask."""
         if self._worker is None:
             raise RuntimeError("engine not started; call start()")
+        # backpressure: a bounded queue keeps a request flood from growing
+        # host memory without limit; callers map this to 503/retry-later
+        if self._queue.qsize() >= self.max_queue:
+            raise QueueFullError(
+                f"serving queue at capacity ({self.max_queue})")
         fut: "Future[np.ndarray]" = Future()
         t0 = time.perf_counter()
         fut.add_done_callback(

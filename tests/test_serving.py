@@ -206,3 +206,34 @@ def test_latency_stats(engine):
         assert 0 <= lat["p50"] <= lat["p90"] <= lat["p99"]
     finally:
         eng.stop()
+
+
+def test_queue_backpressure(engine):
+    from medt_tpu.serving import QueueFullError
+
+    eng = InferenceEngine("axialunet", SIZE, variables=engine._variables,
+                          batch_size=2, max_wait_ms=1.0, max_queue=3)
+    release, parked = threading.Event(), threading.Event()
+    real = eng.predict_batch
+
+    def gated(images):
+        parked.set()
+        assert release.wait(timeout=60)
+        return real(images)
+
+    eng.predict_batch = gated
+    eng.start()
+    try:
+        futs = [eng.submit(_img(0))]
+        assert parked.wait(timeout=60)  # worker busy; backlog builds
+        for i in range(3):
+            futs.append(eng.submit(_img(i + 1)))
+        with pytest.raises(QueueFullError):
+            eng.submit(_img(9))
+        release.set()
+        for f in futs:
+            f.result(timeout=60)
+        eng.submit(_img(5)).result(timeout=60)  # drained queue admits again
+    finally:
+        eng.predict_batch = real
+        eng.stop()
