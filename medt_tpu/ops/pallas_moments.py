@@ -43,8 +43,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _F32 = jnp.float32
 
-# probe/A-B escape hatch: set False to force the XLA moment einsums
-MOMENTS_KERNEL_ENABLED = True
+# probe/A-B escape hatch: set False to force the XLA moment einsums.
+# DISABLED: the one-pass forward kernel fails Mosaic compile on real v5e
+# ("Invalid relayout ... vector<1x2x896xf32>") at every live geometry —
+# the (c, L, Sb) axis-1 reductions produce sublane-replicated vectors with
+# non-singleton leading dims that Mosaic cannot relayout. Verified via
+# tools/tpu_smoke.py. Re-enable only after the kernel compiles there.
+MOMENTS_KERNEL_ENABLED = False
 
 _VMEM_BUDGET = 6 << 20  # same derating as pallas_axial_lanes._VMEM_BUDGET
 
