@@ -235,13 +235,17 @@ def main():
     peak = _peak_flops()
     train = bench_train(peak)
     # the remote compile service's latency is highly variable; skip the
-    # eval section rather than losing the whole JSON line to a timeout
+    # eval section rather than losing the whole JSON line to a timeout —
+    # but NEVER silently: a skipped/failed eval is recorded in the JSON
     ev = None
+    eval_error = None
     if time.perf_counter() - t_start < BENCH_DEADLINE_S - 180:
         try:
             ev = bench_eval(peak)
-        except Exception:
-            ev = None
+        except Exception as ex:  # noqa: BLE001 — recorded, not swallowed
+            eval_error = f"{type(ex).__name__}: {str(ex)[:300]}"
+    else:
+        eval_error = "skipped: train section consumed the time budget"
     print(json.dumps({
         "metric": f"train imgs/sec/chip ({MODEL} {IMG}x{IMG} b{BATCH})",
         "value": train["imgs_per_sec"],
@@ -253,7 +257,7 @@ def main():
         "precision": "f32 params, bf16 matmul (jax TPU default), f32 accum",
         "device_kind": jax.devices()[0].device_kind,
         "peak_bf16_tflops": round(peak / 1e12) if peak else None,
-        "eval": None if ev is None else {
+        "eval": {"error": eval_error} if ev is None else {
             "metric": f"eval imgs/sec/chip ({MODEL} {IMG}x{IMG} b{BATCH}, fused kernel)",
             **ev,
         },

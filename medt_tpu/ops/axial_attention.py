@@ -216,6 +216,10 @@ class AxialAttention(nn.Module):
                       or flash_supported(span, g, gp, stripes_))
         if fused_ok and not lanes_eval:
             from .pallas_axial import fused_eval_attention
+            from . import kernel_registry as _kreg
+            _kreg.record(_kreg.FAMILY_EVAL, span=span, g=g, gp=gp,
+                         S=stripes_, train=False,
+                         has_pos=self.mode != MODE_WOPOS)
 
             relative = None
             if self.mode != MODE_WOPOS:
@@ -329,6 +333,15 @@ class AxialAttention(nn.Module):
                      and lanes_supported(span, g, gp, S))
         lanes_out = use_flash or use_flash2 or use_lanes
 
+        from . import kernel_registry as _kreg
+        _family = (_kreg.FAMILY_FLASH if use_flash
+                   else _kreg.FAMILY_FLASH2 if use_flash2
+                   else _kreg.FAMILY_STRIPE if use_kernel
+                   else _kreg.FAMILY_LANES if use_lanes else None)
+        if _family is not None:
+            _kreg.record(_family, span=span, g=g, gp=gp, S=S, train=train,
+                         has_pos=self.mode != MODE_WOPOS, dtype=qkv.dtype)
+
         if lanes_out:
             # single transpose straight from the 4D dense output into the
             # kernels' (g, ch, L, S) layout — no intermediate 5D relayout;
@@ -360,6 +373,10 @@ class AxialAttention(nn.Module):
             qk_moments_lanes_fused,
         )
         fuse_moments = lanes_out and moments_kernel_supported(span, gp, S)
+        if fuse_moments and train:
+            _kreg.record(_kreg.FAMILY_MOMENTS, span=span, g=g, gp=gp, S=S,
+                         train=True, has_pos=self.mode != MODE_WOPOS,
+                         dtype=qkv.dtype)
 
         if self.mode == MODE_WOPOS:
             if train:

@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import kernel_registry as _kreg
+
 
 def fused_eval_supported(span: int, gp: int) -> bool:
     """Whether one (stripe-block, group) program fits VMEM.
@@ -49,7 +51,8 @@ def fused_eval_supported(span: int, gp: int) -> bool:
     B = max(1, min(32, (1 << 19) // (span * span)))
     tiles = 4 * B * span * span * 4
     tables = (2 * c + gp) * span * span * 4
-    return tiles + tables <= (12 << 20)
+    return (_kreg.family_enabled(_kreg.FAMILY_EVAL)
+            and tiles + tables <= (12 << 20))
 
 
 def _attn_kernel(q_ref, k_ref, v_ref,

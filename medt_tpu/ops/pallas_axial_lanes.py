@@ -44,6 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import kernel_registry as _kreg
+
 _F32 = jnp.float32
 
 
@@ -381,7 +383,8 @@ def lanes_supported(span: int, groups: int, gp: int, stripes: int) -> bool:
     kernels fit the VMEM budget (the backward holds ~2x the live state; an
     admission check on forward alone would crash the grad trace)."""
     c = max(gp // 2, 1)
-    return (LANES_ENABLED and span <= 16 and stripes >= 128
+    return (LANES_ENABLED and _kreg.family_enabled(_kreg.FAMILY_LANES)
+            and span <= 16 and stripes >= 128
             and _pick_sblock(stripes, groups, c, gp, span) >= 128
             and _pick_sblock(stripes, groups, c, gp, span, bwd=True) >= 128)
 
@@ -751,7 +754,8 @@ def flash_supported(span: int, groups: int, gp: int, stripes: int) -> bool:
     stripe-block kernel (ops/pallas_axial_train.py), which handles wide
     gp at mid spans fine."""
     c = max(gp // 2, 1)
-    return (LANES_ENABLED and 16 < span <= 64 and span % _JB_FWD == 0
+    return (LANES_ENABLED and _kreg.family_enabled(_kreg.FAMILY_FLASH)
+            and 16 < span <= 64 and span % _JB_FWD == 0
             and gp * span <= 256
             and stripes >= 128
             and _flash_pick_sblock(stripes, c, gp, span) >= 128
@@ -1214,7 +1218,8 @@ def flash2_supported(span: int, groups: int, gp: int, stripes: int) -> bool:
     cannot hold (96..256, plus wide-gp mid spans its empirical gp*span
     gate rejects)."""
     c = max(gp // 2, 1)
-    return (LANES_ENABLED and 64 < span <= 256
+    return (LANES_ENABLED and _kreg.family_enabled(_kreg.FAMILY_FLASH2)
+            and 64 < span <= 256
             and span % _JB_F2 == 0
             and stripes >= 128
             and _flash2_geom(stripes, c, gp, span)[0] >= 128)

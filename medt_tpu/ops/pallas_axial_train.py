@@ -40,6 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import kernel_registry as _kreg
+
 _F32 = jnp.float32
 
 
@@ -375,7 +377,8 @@ def fused_train_supported(span: int, groups: int, gp: int) -> bool:
     del groups  # tables are group-shared, not per-group
     table_bytes = 2 * (2 * c + gp) * span * span * 4
     tile_bytes = 8 * 8 * span * span * 4  # 8 live tiles at stripe block 8
-    return table_bytes + tile_bytes <= _VMEM_BUDGET
+    return (_kreg.family_enabled(_kreg.FAMILY_STRIPE)
+            and table_bytes + tile_bytes <= _VMEM_BUDGET)
 
 
 # ---------------------------------------------------------------------------

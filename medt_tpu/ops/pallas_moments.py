@@ -16,20 +16,27 @@ This module computes ALL six moment sums in ONE pass over q/k per
 term is VPU elementwise work sharing the same loads. The (c, d)-symmetric
 second-moment terms are halved via d >= c with weight 2.
 
-Layout contract matches the stripe-lane attention kernels
-(ops/pallas_axial_lanes.py): q, k are (g, c, L, S) with the huge stripe
-axis S on lanes. Tables are pre-reduced in XLA (cheap, O(c^2 L^2)):
+Mosaic layout discipline (the round-2 version of this kernel failed chip
+compile with "Invalid relayout ... replicated in destination but not in
+source"): every value inside the kernels is either a scalar, a (1, Sb) /
+(L, 1) keepdims reduction, or a full (L, Sb) tile — never a
+multi-channel reduction like ``jnp.sum((c, L, Sb), axis=1)``, whose
+(c, Sb) result carries a sublane-replicated layout Mosaic cannot relayout
+for non-singleton leading dims. Channel work is an unrolled Python loop
+over 2-D per-channel tiles (c <= 8), the same pattern as the proven
+attention kernels in ops/pallas_axial_lanes.py. The position tables enter
+PRE-TRANSPOSED with the span on sublanes — (L, c) and (L, c*c) — so the
+kernels take (L, 1) columns by static slicing instead of relayouting
+lane-resident rows:
 
-    r_q[c, i]    = sum_j qemb[c, i, j]
-    E_q[c, d, i] = sum_j qemb[c, i, j] qemb[d, i, j]
-    r_k[c, j]    = sum_i kemb[c, j, i]          (kemb in [c, j, i] coords,
-    E_k[c, d, j] = sum_i kemb[c, j, i] kemb[d, j, i]   as logit_moments)
+    r_q[c, i]    = sum_j qemb[c, i, j]          -> passed as r_q_t[i, c]
+    E_q[c, d, i] = sum_j qemb[c, i, j] qemb[d, i, j] -> e_q_t[i, c*cdim+d]
+    r_k, E_k analogous in [c, j, i] coordinates (kr reads kemb as [c,j,i]).
 
-The custom VJP keeps the backward in XLA: the cotangents are 6 scalars per
-group, so the backward is a handful of einsums of the SAME cost autodiff
-would produce through the reference implementation — the kernel only
-de-duplicates the forward's HBM reads. Kernelizing the backward is a
-follow-up (see ROADMAP.md).
+The custom VJP's backward is a mirrored one-pass kernel: dq/dk assembled
+per (group, stripe-block) program, table gradients accumulated in
+grid-resident constant-index blocks (the attention backward's dqemb
+pattern), with the XLA einsum fallback retained for unadmitted shapes.
 """
 from __future__ import annotations
 
@@ -41,15 +48,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import kernel_registry as _kreg
+
 _F32 = jnp.float32
 
-# probe/A-B escape hatch: set False to force the XLA moment einsums.
-# DISABLED: the one-pass forward kernel fails Mosaic compile on real v5e
-# ("Invalid relayout ... vector<1x2x896xf32>") at every live geometry —
-# the (c, L, Sb) axis-1 reductions produce sublane-replicated vectors with
-# non-singleton leading dims that Mosaic cannot relayout. Verified via
-# tools/tpu_smoke.py. Re-enable only after the kernel compiles there.
-MOMENTS_KERNEL_ENABLED = False
+# probe/A-B escape hatch: set False to force the XLA moment einsums
+MOMENTS_KERNEL_ENABLED = True
 
 _VMEM_BUDGET = 6 << 20  # same derating as pallas_axial_lanes._VMEM_BUDGET
 
@@ -58,7 +62,7 @@ def _pick_sblock(S: int, c: int, L: int, bwd: bool = False) -> int:
     """Largest 128-multiple stripe block that divides S and fits VMEM.
 
     Live f32 per lane: q + k blocks (2cL) plus the (L,)-tall working
-    products wq/wk and the (c,)-tall qs/ks partials, with 2x slack for
+    products wq/wk and per-channel (1,)-tall sums, with 2x slack for
     Mosaic pipeline buffers; the backward adds the dq/dk output blocks.
     """
     per_lane = 4 * ((4 if bwd else 2) * c * L + 2 * L + 2 * c) * 2
@@ -75,21 +79,26 @@ def _interpret_default(interpret: Optional[bool]) -> bool:
     return interpret
 
 
-def _moments_kernel(q_ref, k_ref, rq_ref, eq_ref, rk_ref, ek_ref, out_ref,
-                    *, has_pos: bool):
+def _moments_kernel(q_ref, k_ref, rqt_ref, eqt_ref, rkt_ref, ekt_ref,
+                    out_ref, *, has_pos: bool, cdim: int):
     """grid = (g, S // Sb); out accumulates (g, 8) moment sums.
 
     Row layout per group: [s1_qk, s2_qk, s1_qr, s2_qr, s1_kr, s2_kr, 0, 0]
     (first and second raw-moment sums; divide by n = S*L*L outside).
     """
     gi, si = pl.program_id(0), pl.program_id(1)
-    # bf16 inputs upcast once in VMEM — exact, matches upcasting outside
-    q, k = q_ref[0].astype(_F32), k_ref[0].astype(_F32)  # (c, L, Sb)
-    c = q.shape[0]
+    c = cdim
+    # per-channel (L, Sb) tiles; bf16 inputs upcast once in VMEM — exact,
+    # matching an upcast outside the kernel bit-for-bit
+    q = [q_ref[0, ci].astype(_F32) for ci in range(c)]
+    k = [k_ref[0, ci].astype(_F32) for ci in range(c)]
 
-    qs = jnp.sum(q, axis=1)  # (c, Sb)
-    ks = jnp.sum(k, axis=1)
-    s1_qk = jnp.sum(qs * ks)
+    # qs/ks: (1, Sb) keepdims reductions (sublane axis collapses to 1)
+    qs = [jnp.sum(q[ci], axis=0, keepdims=True) for ci in range(c)]
+    ks = [jnp.sum(k[ci], axis=0, keepdims=True) for ci in range(c)]
+    s1_qk = jnp.sum(qs[0] * ks[0])
+    for ci in range(1, c):
+        s1_qk += jnp.sum(qs[ci] * ks[ci])
 
     z = jnp.zeros((), _F32)
     s2_qk, s2_qr, s2_kr = z, z, z
@@ -99,13 +108,19 @@ def _moments_kernel(q_ref, k_ref, rq_ref, eq_ref, rk_ref, ek_ref, out_ref,
             wq = q[ci] * q[di]  # (L, Sb)
             wk = k[ci] * k[di]
             # m2_qk couples qq and kk per stripe: sum_s (sum_l wq)(sum_l wk)
-            s2_qk += f * jnp.sum(jnp.sum(wq, axis=0) * jnp.sum(wk, axis=0))
+            s2_qk += f * jnp.sum(jnp.sum(wq, axis=0, keepdims=True)
+                                 * jnp.sum(wk, axis=0, keepdims=True))
             if has_pos:
-                s2_qr += f * jnp.sum(wq * eq_ref[ci, di][:, None])
-                s2_kr += f * jnp.sum(wk * ek_ref[ci, di][:, None])
+                col = ci * c + di
+                # (L, 1) static column slice broadcast over lanes
+                s2_qr += f * jnp.sum(wq * eqt_ref[:, col:col + 1])
+                s2_kr += f * jnp.sum(wk * ekt_ref[:, col:col + 1])
     if has_pos:
-        s1_qr = jnp.sum(q * rq_ref[...][:, :, None])
-        s1_kr = jnp.sum(k * rk_ref[...][:, :, None])
+        s1_qr = jnp.sum(q[0] * rqt_ref[:, 0:1])
+        s1_kr = jnp.sum(k[0] * rkt_ref[:, 0:1])
+        for ci in range(1, c):
+            s1_qr += jnp.sum(q[ci] * rqt_ref[:, ci:ci + 1])
+            s1_kr += jnp.sum(k[ci] * rkt_ref[:, ci:ci + 1])
     else:
         s1_qr = s1_kr = z
 
@@ -118,6 +133,20 @@ def _moments_kernel(q_ref, k_ref, rq_ref, eq_ref, rk_ref, ek_ref, out_ref,
     @pl.when(si != 0)
     def _():
         out_ref[pl.ds(gi, 1), :] = out_ref[pl.ds(gi, 1), :] + row[None]
+
+
+def _transpose_tables(r_q, e_q, r_k, e_k, L):
+    """(c, L)/(c, c, L) tables -> span-on-sublanes (L, c)/(L, c*c)."""
+    has_pos = r_q.shape[0] > 0
+    if not has_pos:
+        z2 = jnp.zeros((L, 1), _F32)
+        return z2, z2, z2, z2, 0
+    c = r_q.shape[0]
+    rqt = jnp.transpose(r_q).astype(_F32)                      # (L, c)
+    rkt = jnp.transpose(r_k).astype(_F32)
+    eqt = jnp.transpose(e_q.reshape(c * c, L)).astype(_F32)    # (L, c*c)
+    ekt = jnp.transpose(e_k.reshape(c * c, L)).astype(_F32)
+    return rqt, eqt, rkt, ekt, c
 
 
 @jax.custom_vjp
@@ -139,46 +168,46 @@ def _sums_fwd(q, k, r_q, e_q, r_k, e_k, interpret=None):
     grid = (g, S // Sb)
     qk_spec = pl.BlockSpec((1, c, L, Sb), lambda gi, si: (gi, 0, 0, si),
                            memory_space=pltpu.VMEM)
-    if not has_pos:  # keep block shapes non-empty
-        r_q = jnp.zeros((1, L), _F32)
-        r_k = jnp.zeros((1, L), _F32)
-        e_q = jnp.zeros((1, 1, L), _F32)
-        e_k = jnp.zeros((1, 1, L), _F32)
-    r_spec = pl.BlockSpec(r_q.shape, lambda gi, si: (0, 0),
+    rqt, eqt, rkt, ekt, _ = _transpose_tables(r_q, e_q, r_k, e_k, L)
+    r_spec = pl.BlockSpec(rqt.shape, lambda gi, si: (0, 0),
                           memory_space=pltpu.VMEM)
-    e_spec = pl.BlockSpec(e_q.shape, lambda gi, si: (0, 0, 0),
+    e_spec = pl.BlockSpec(eqt.shape, lambda gi, si: (0, 0),
                           memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((g, 8), lambda gi, si: (0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_moments_kernel, has_pos=has_pos),
+        functools.partial(_moments_kernel, has_pos=has_pos, cdim=c),
         grid=grid,
         in_specs=[qk_spec, qk_spec, r_spec, e_spec, r_spec, e_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((g, 8), _F32),
         interpret=interpret,
-    )(q, k, r_q, e_q, r_k, e_k)
+    )(q, k, rqt, eqt, rkt, ekt)
 
 
 def _sums_fwd_rule(q, k, r_q, e_q, r_k, e_k):
     return _sums_fwd(q, k, r_q, e_q, r_k, e_k), (q, k, r_q, e_q, r_k, e_k)
 
 
-def _moments_bwd_kernel(q_ref, k_ref, rq_ref, eq_ref, rk_ref, ek_ref, ct_ref,
-                        dq_ref, dk_ref, drq_ref, deq_ref, drk_ref, dek_ref,
-                        *, has_pos: bool):
+def _moments_bwd_kernel(q_ref, k_ref, rqt_ref, eqt_ref, rkt_ref, ekt_ref,
+                        ct_ref,
+                        dq_ref, dk_ref, drqt_ref, deqt_ref, drkt_ref,
+                        dekt_ref, *, has_pos: bool, cdim: int):
     """One-pass backward: dq/dk assembled per block, table grads accumulated
     in resident constant-index blocks across the whole grid (the same
-    pattern as the attention backward's dqemb, pallas_axial_lanes.py)."""
+    pattern as the attention backward's dqemb, pallas_axial_lanes.py).
+    Same 2-D layout discipline as the forward kernel."""
     gi, si = pl.program_id(0), pl.program_id(1)
-    ct = ct_ref[pl.ds(gi, 1), :][0]  # (8,)
-    q, k = q_ref[0].astype(_F32), k_ref[0].astype(_F32)  # (c, L, Sb)
-    c = q.shape[0]
-    qs = jnp.sum(q, axis=1)          # (c, Sb)
-    ks = jnp.sum(k, axis=1)
+    ct = ct_ref[pl.ds(gi, 1), :][0]  # (8,) — the proven aff-row pattern
+    c = cdim
+    q = [q_ref[0, ci].astype(_F32) for ci in range(c)]
+    k = [k_ref[0, ci].astype(_F32) for ci in range(c)]
+    qs = [jnp.sum(q[ci], axis=0, keepdims=True) for ci in range(c)]  # (1,Sb)
+    ks = [jnp.sum(k[ci], axis=0, keepdims=True) for ci in range(c)]
 
-    # pair products, reduced both ways: over L for the per-stripe qq/kk
-    # (s2_qk chain) and over Sb for the e-table grads
+    # pair products, reduced both ways: over L (keepdims -> (1, Sb)) for
+    # the per-stripe s2_qk chain and over Sb (keepdims -> (L, 1)) for the
+    # e-table grads
     qq = [[None] * c for _ in range(c)]
     kk = [[None] * c for _ in range(c)]
     qql = [[None] * c for _ in range(c)]
@@ -187,56 +216,67 @@ def _moments_bwd_kernel(q_ref, k_ref, rq_ref, eq_ref, rk_ref, ek_ref, ct_ref,
         for di in range(ci, c):
             wq = q[ci] * q[di]  # (L, Sb)
             wk = k[ci] * k[di]
-            qq[ci][di] = qq[di][ci] = jnp.sum(wq, axis=0)   # (Sb,)
-            kk[ci][di] = kk[di][ci] = jnp.sum(wk, axis=0)
+            qq[ci][di] = qq[di][ci] = jnp.sum(wq, axis=0, keepdims=True)
+            kk[ci][di] = kk[di][ci] = jnp.sum(wk, axis=0, keepdims=True)
             if has_pos:
-                qql[ci][di] = qql[di][ci] = jnp.sum(wq, axis=1)  # (L,)
-                kkl[ci][di] = kkl[di][ci] = jnp.sum(wk, axis=1)
+                qql[ci][di] = qql[di][ci] = jnp.sum(wq, axis=1,
+                                                    keepdims=True)
+                kkl[ci][di] = kkl[di][ci] = jnp.sum(wk, axis=1,
+                                                    keepdims=True)
 
     dq_rows, dk_rows = [], []
     for ci in range(c):
-        acc_q = kk[ci][0][None, :] * q[0]
-        acc_k = qq[ci][0][None, :] * k[0]
+        acc_q = kk[ci][0] * q[0]          # (1, Sb) * (L, Sb)
+        acc_k = qq[ci][0] * k[0]
         for di in range(1, c):
-            acc_q += kk[ci][di][None, :] * q[di]
-            acc_k += qq[ci][di][None, :] * k[di]
-        dqc = ct[0] * ks[ci][None, :] + 2.0 * ct[1] * acc_q
-        dkc = ct[0] * qs[ci][None, :] + 2.0 * ct[1] * acc_k
+            acc_q += kk[ci][di] * q[di]
+            acc_k += qq[ci][di] * k[di]
+        dqc = ct[0] * ks[ci] + 2.0 * ct[1] * acc_q
+        dkc = ct[0] * qs[ci] + 2.0 * ct[1] * acc_k
         if has_pos:
-            acc_eq = eq_ref[ci, 0][:, None] * q[0]
-            acc_ek = ek_ref[ci, 0][:, None] * k[0]
+            acc_eq = eqt_ref[:, ci * c:ci * c + 1] * q[0]  # (L,1) * (L,Sb)
+            acc_ek = ekt_ref[:, ci * c:ci * c + 1] * k[0]
             for di in range(1, c):
-                acc_eq += eq_ref[ci, di][:, None] * q[di]
-                acc_ek += ek_ref[ci, di][:, None] * k[di]
-            dqc += ct[2] * rq_ref[ci][:, None] + 2.0 * ct[3] * acc_eq
-            dkc += ct[4] * rk_ref[ci][:, None] + 2.0 * ct[5] * acc_ek
+                col = ci * c + di
+                acc_eq += eqt_ref[:, col:col + 1] * q[di]
+                acc_ek += ekt_ref[:, col:col + 1] * k[di]
+            dqc += ct[2] * rqt_ref[:, ci:ci + 1] + 2.0 * ct[3] * acc_eq
+            dkc += ct[4] * rkt_ref[:, ci:ci + 1] + 2.0 * ct[5] * acc_ek
         dq_rows.append(dqc)
         dk_rows.append(dkc)
     dq_ref[0] = jnp.stack(dq_rows).astype(dq_ref.dtype)
     dk_ref[0] = jnp.stack(dk_rows).astype(dk_ref.dtype)
 
     if has_pos:
-        drq = ct[2] * jnp.sum(q, axis=2)  # (c, L)
-        drk = ct[4] * jnp.sum(k, axis=2)
-        deq = ct[3] * jnp.stack(
-            [jnp.stack([qql[ci][di] for di in range(c)]) for ci in range(c)])
-        dek = ct[5] * jnp.stack(
-            [jnp.stack([kkl[ci][di] for di in range(c)]) for ci in range(c)])
+        # table grads in the transposed (L, c)/(L, c*c) layout: columns are
+        # (L, 1) keepdims reductions, concatenated on lanes
+        drqt = jnp.concatenate(
+            [ct[2] * jnp.sum(q[ci], axis=1, keepdims=True)
+             for ci in range(c)], axis=1)
+        drkt = jnp.concatenate(
+            [ct[4] * jnp.sum(k[ci], axis=1, keepdims=True)
+             for ci in range(c)], axis=1)
+        deqt = jnp.concatenate(
+            [ct[3] * qql[ci][di] for ci in range(c) for di in range(c)],
+            axis=1)
+        dekt = jnp.concatenate(
+            [ct[5] * kkl[ci][di] for ci in range(c) for di in range(c)],
+            axis=1)
         first = jnp.logical_and(gi == 0, si == 0)
 
         @pl.when(first)
         def _():
-            drq_ref[...] = drq
-            deq_ref[...] = deq
-            drk_ref[...] = drk
-            dek_ref[...] = dek
+            drqt_ref[...] = drqt
+            deqt_ref[...] = deqt
+            drkt_ref[...] = drkt
+            dekt_ref[...] = dekt
 
         @pl.when(jnp.logical_not(first))
         def _():
-            drq_ref[...] = drq_ref[...] + drq
-            deq_ref[...] = deq_ref[...] + deq
-            drk_ref[...] = drk_ref[...] + drk
-            dek_ref[...] = dek_ref[...] + dek
+            drqt_ref[...] = drqt_ref[...] + drqt
+            deqt_ref[...] = deqt_ref[...] + deqt
+            drkt_ref[...] = drkt_ref[...] + drkt
+            dekt_ref[...] = dekt_ref[...] + dekt
 
 
 def _sums_bwd_kernel_call(q, k, r_q, e_q, r_k, e_k, ct, Sb, interpret):
@@ -245,35 +285,37 @@ def _sums_bwd_kernel_call(q, k, r_q, e_q, r_k, e_k, ct, Sb, interpret):
     grid = (g, S // Sb)
     qk_spec = pl.BlockSpec((1, c, L, Sb), lambda gi, si: (gi, 0, 0, si),
                            memory_space=pltpu.VMEM)
-    rq_in, rk_in, eq_in, ek_in = r_q, r_k, e_q, e_k
-    if not has_pos:
-        rq_in = rk_in = jnp.zeros((1, L), _F32)
-        eq_in = ek_in = jnp.zeros((1, 1, L), _F32)
-    r_spec = pl.BlockSpec(rq_in.shape, lambda gi, si: (0, 0),
+    rqt, eqt, rkt, ekt, _ = _transpose_tables(r_q, e_q, r_k, e_k, L)
+    r_spec = pl.BlockSpec(rqt.shape, lambda gi, si: (0, 0),
                           memory_space=pltpu.VMEM)
-    e_spec = pl.BlockSpec(eq_in.shape, lambda gi, si: (0, 0, 0),
+    e_spec = pl.BlockSpec(eqt.shape, lambda gi, si: (0, 0),
                           memory_space=pltpu.VMEM)
     ct_spec = pl.BlockSpec((g, 8), lambda gi, si: (0, 0),
                            memory_space=pltpu.VMEM)
-    dq, dk, drq, deq, drk, dek = pl.pallas_call(
-        functools.partial(_moments_bwd_kernel, has_pos=has_pos),
+    dq, dk, drqt, deqt, drkt, dekt = pl.pallas_call(
+        functools.partial(_moments_bwd_kernel, has_pos=has_pos, cdim=c),
         grid=grid,
         in_specs=[qk_spec, qk_spec, r_spec, e_spec, r_spec, e_spec, ct_spec],
         out_specs=(qk_spec, qk_spec, r_spec, e_spec, r_spec, e_spec),
         out_shape=(
             jax.ShapeDtypeStruct((g, c, L, S), q.dtype),
             jax.ShapeDtypeStruct((g, c, L, S), k.dtype),
-            jax.ShapeDtypeStruct(rq_in.shape, _F32),
-            jax.ShapeDtypeStruct(eq_in.shape, _F32),
-            jax.ShapeDtypeStruct(rk_in.shape, _F32),
-            jax.ShapeDtypeStruct(ek_in.shape, _F32),
+            jax.ShapeDtypeStruct(rqt.shape, _F32),
+            jax.ShapeDtypeStruct(eqt.shape, _F32),
+            jax.ShapeDtypeStruct(rkt.shape, _F32),
+            jax.ShapeDtypeStruct(ekt.shape, _F32),
         ),
         interpret=interpret,
-    )(q, k, rq_in, eq_in, rk_in, ek_in, ct)
+    )(q, k, rqt, eqt, rkt, ekt, ct)
     if not has_pos:
         zr, ze = jnp.zeros_like(r_q), jnp.zeros_like(e_q)
         return dq, dk, zr, ze, jnp.zeros_like(r_k), jnp.zeros_like(e_k)
-    return dq, dk, drq, deq, drk, dek
+    # un-transpose the table grads back to the caller's (c, L)/(c, c, L)
+    dr_q = jnp.transpose(drqt)
+    dr_k = jnp.transpose(drkt)
+    de_q = jnp.transpose(deqt).reshape(c, c, L)
+    de_k = jnp.transpose(dekt).reshape(c, c, L)
+    return dq, dk, dr_q, de_q, dr_k, de_k
 
 
 def _sums_bwd_rule(residuals, ct, interpret=None):
@@ -335,7 +377,9 @@ def moments_kernel_supported(span: int, gp: int, stripes: int) -> bool:
     stripe block fits VMEM (always true at the model geometries; tiny L
     with short S falls back to the XLA einsums)."""
     c = max(gp // 2, 1)
-    return (MOMENTS_KERNEL_ENABLED and stripes >= 128
+    return (MOMENTS_KERNEL_ENABLED
+            and _kreg.family_enabled(_kreg.FAMILY_MOMENTS)
+            and stripes >= 128
             and _pick_sblock(stripes, c, span) >= 128)
 
 

@@ -158,8 +158,15 @@ def run_training(cfg: Config, state: Optional[TrainState] = None,
             print(f"resumed from {newest} at epoch {start_epoch}")
 
     import functools
-    step_fn = jax.jit(functools.partial(train_step, remat=cfg.remat),
-                      donate_argnums=0)
+
+    def make_step_fn():
+        # a fresh partial per (re)build: kernel admission happens at trace
+        # time, so after a family is disabled the new function identity
+        # forces a retrace onto the XLA fallback
+        return jax.jit(functools.partial(train_step, remat=cfg.remat),
+                       donate_argnums=0)
+
+    step_fn = make_step_fn()
     eval_fn = jax.jit(eval_step)
     logger = Logger(verbose=True,
                     jsonl_path=os.path.join(cfg.direc, "train_log.jsonl")
@@ -175,7 +182,28 @@ def run_training(cfg: Config, state: Optional[TrainState] = None,
             for n_imgs, dev_batch in prefetch_to_device(
                     train_loader,
                     lambda b: (len(b["name"]), _device_batch(b))):
-                state, metrics = step_fn(state, dev_batch)
+                if epoch == start_epoch and n_batches == 0:
+                    # first step == first compile: if a Pallas kernel fails
+                    # Mosaic lowering on this chip, probe-bisect the guilty
+                    # family, disable it (XLA fallback), and re-jit instead
+                    # of dying (see ops/kernel_registry.py)
+                    try:
+                        state, metrics = step_fn(state, dev_batch)
+                    except Exception as ex:  # noqa: BLE001
+                        if "osaic" not in str(ex):
+                            raise
+                        from ..ops import kernel_registry as kreg
+
+                        report = kreg.preflight_fn(
+                            functools.partial(train_step, remat=cfg.remat),
+                            state, dev_batch,
+                            warn_prefix="train step compile failed; ")
+                        if not any(not ok for ok, _ in report.values()):
+                            raise  # not a known kernel family — surface it
+                        step_fn = make_step_fn()
+                        state, metrics = step_fn(state, dev_batch)
+                else:
+                    state, metrics = step_fn(state, dev_batch)
                 epoch_loss = epoch_loss + metrics["loss"]
                 n_batches += 1
                 meter.update(n_imgs)
