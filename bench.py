@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 
 REFERENCE_IMGS_PER_SEC = 8.0  # pinned ESTIMATE; see module docstring
+REFERENCE_MEASURED_CPU = 0.391  # MEASURED: reference train.py on this host's
+# CPU torch (tools/measure_reference.py, gatedaxialunet b4 128px, 1 core)
 MODEL = "MedT"
 IMG = 128
 BATCH = 56  # saturate the chip (64+ crashes the axon remote compiler); ref uses 4
@@ -266,6 +268,10 @@ def main():
             "estimated": True,
             "note": "reference repo measures no throughput; estimate for "
                     "MedT b4 128px on Quadro RTX 8000 (README.md:130)",
+            # the one MEASURED reference point: reference train.py run
+            # verbatim on this host's CPU torch (tools/measure_reference.py,
+            # gatedaxialunet b4 128px, single core) — a floor, not the GPU
+            "measured_cpu_imgs_per_sec": REFERENCE_MEASURED_CPU,
         },
     }))
 
