@@ -208,12 +208,24 @@ class AxialAttention(nn.Module):
             and span <= 256  # 129..256 admitted per-shape by flash2 below
         )
         from .pallas_axial_lanes import flash_supported, lanes_supported
+        from ..parallel.kernel_sharding import kernel_mesh_factors
 
+        # under an active mesh the kernels run as shard_map islands over
+        # (g -> model, S -> data x seq); admission must see the PER-DEVICE
+        # geometry (parallel/kernel_sharding.py)
+        mesh_, ds_, tp_ = kernel_mesh_factors()
         stripes_ = qkv.shape[0] * qkv.shape[2]
+        if mesh_ is not None and (stripes_ % ds_ or g % tp_):
+            mesh_, ds_, tp_ = None, 1, 1
+        s_adm, g_adm = stripes_ // ds_, g // tp_
         # eval prefers the lanes kernels wherever they are admitted (small
         # spans: plain lanes; mid spans: key-streamed flash variant)
-        lanes_eval = ((span <= 16 and lanes_supported(span, g, gp, stripes_))
-                      or flash_supported(span, g, gp, stripes_))
+        lanes_eval = ((span <= 16 and lanes_supported(span, g_adm, gp, s_adm))
+                      or flash_supported(span, g_adm, gp, s_adm))
+        if mesh_ is not None:
+            # the stripe-major eval kernel has no sharding island; under a
+            # mesh the islanded lanes families (below) or XLA take over
+            fused_ok = fused_ok and lanes_eval
         if fused_ok and not lanes_eval:
             from .pallas_axial import fused_eval_attention
             from . import kernel_registry as _kreg
@@ -309,8 +321,21 @@ class AxialAttention(nn.Module):
             qk_moments_lanes,
         )
 
+        from ..parallel.kernel_sharding import (
+            kernel_mesh_factors,
+            shard_lanes_core,
+            shard_stripe_core,
+        )
+
         n, L, m = qkv.shape[0], qkv.shape[1], qkv.shape[2]
         S, c = n * m, gp // 2
+
+        # active mesh -> kernels run as shard_map islands; admission and the
+        # registry see the per-device (g/tp, S/(dp*sp)) geometry
+        mesh_, ds_, tp_ = kernel_mesh_factors()
+        if mesh_ is not None and (S % ds_ or g % tp_):
+            mesh_, ds_, tp_ = None, 1, 1
+        S_adm, g_adm = S // ds_, g // tp_
 
         sim_scale, sim_bias, sim_mean, sim_var = sim_bn
 
@@ -321,16 +346,17 @@ class AxialAttention(nn.Module):
         # faster than the stripe-block kernel's tiny-MXU matmuls), the
         # stripe-block kernel as the mid/large-span fallback, and XLA
         # einsums when nothing admits the shape
-        use_flash = flash_supported(span, g, gp, S)
+        use_flash = flash_supported(span, g_adm, gp, S_adm)
         # query-streamed variant for the spans plain flash can't hold
         # (96..256 — the 512px models' global branch, which otherwise
         # falls back to XLA's HBM-resident logits chain)
-        use_flash2 = (not use_flash and flash2_supported(span, g, gp, S))
+        use_flash2 = (not use_flash and flash2_supported(span, g_adm, gp,
+                                                         S_adm))
         use_kernel = (not use_flash and not use_flash2
                       and span >= FUSED_TRAIN_MIN_SPAN
-                      and fused_train_supported(span, g, gp))
+                      and fused_train_supported(span, g_adm, gp))
         use_lanes = (not use_flash and not use_flash2 and not use_kernel
-                     and lanes_supported(span, g, gp, S))
+                     and lanes_supported(span, g_adm, gp, S_adm))
         lanes_out = use_flash or use_flash2 or use_lanes
 
         from . import kernel_registry as _kreg
@@ -339,8 +365,9 @@ class AxialAttention(nn.Module):
                    else _kreg.FAMILY_STRIPE if use_kernel
                    else _kreg.FAMILY_LANES if use_lanes else None)
         if _family is not None:
-            _kreg.record(_family, span=span, g=g, gp=gp, S=S, train=train,
-                         has_pos=self.mode != MODE_WOPOS, dtype=qkv.dtype)
+            _kreg.record(_family, span=span, g=g_adm, gp=gp, S=S_adm,
+                         train=train, has_pos=self.mode != MODE_WOPOS,
+                         dtype=qkv.dtype, sharded=mesh_ is not None)
 
         if lanes_out:
             # single transpose straight from the 4D dense output into the
@@ -372,7 +399,19 @@ class AxialAttention(nn.Module):
             moments_kernel_supported,
             qk_moments_lanes_fused,
         )
-        fuse_moments = lanes_out and moments_kernel_supported(span, gp, S)
+        # the moments kernel reduces over the (sharded) stripe axis, so it
+        # stays single-device; under a mesh the factorized XLA moments take
+        # over (GSPMD turns their S-reductions into psums)
+        fuse_moments = (lanes_out and mesh_ is None
+                        and moments_kernel_supported(span, gp, S))
+
+        def _island(core, stripe=False):
+            """Wrap a kernel core in its shard_map island when a mesh is
+            active (no-op otherwise)."""
+            if mesh_ is None:
+                return core
+            return (shard_stripe_core if stripe
+                    else shard_lanes_core)(core, mesh_)
         if fuse_moments and train:
             _kreg.record(_kreg.FAMILY_MOMENTS, span=span, g=g, gp=gp, S=S,
                          train=True, has_pos=self.mode != MODE_WOPOS,
@@ -389,16 +428,16 @@ class AxialAttention(nn.Module):
                                          sim_mean.value, sim_var.value)
             aff = pack_sim_affine(g, a, b, "wopos")
             if lanes_out:
-                core_l = (flash_lanes_core if use_flash
-                          else flash2_lanes_core if use_flash2
-                          else lanes_attn_core)
+                core_l = _island(flash_lanes_core if use_flash
+                                 else flash2_lanes_core if use_flash2
+                                 else lanes_attn_core)
                 empty = jnp.zeros((0, L, L), jnp.float32)
                 sv_l, _ = core_l(q, k, v, empty, empty, empty, aff)
             elif use_kernel:
                 zero_c = jnp.zeros((c, L, L), jnp.float32)
                 zero_p = jnp.zeros((gp, L, L), jnp.float32)
-                sv, sve = fused_attn_core(q, k, v, zero_c, zero_c, zero_p,
-                                          aff)
+                sv, sve = _island(fused_attn_core, stripe=True)(
+                    q, k, v, zero_c, zero_c, zero_p, aff)
             else:
                 sv, sve = attn_core_xla(q, k, v, None, None, None, aff,
                                         has_pos=False)
@@ -429,13 +468,14 @@ class AxialAttention(nn.Module):
                                          sim_mean.value, sim_var.value)
             aff = pack_sim_affine(g, a, b, self.mode)
             if lanes_out:
-                core_l = (flash_lanes_core if use_flash
-                          else flash2_lanes_core if use_flash2
-                          else lanes_attn_core)
+                core_l = _island(flash_lanes_core if use_flash
+                                 else flash2_lanes_core if use_flash2
+                                 else lanes_attn_core)
                 sv_l, sve_l = core_l(
                     q, k, v, q_emb, jnp.swapaxes(k_emb, 1, 2), v_emb, aff)
             else:
-                core = fused_attn_core if use_kernel else attn_core_xla
+                core = (_island(fused_attn_core, stripe=True) if use_kernel
+                        else attn_core_xla)
                 sv, sve = core(q, k, v, q_emb, k_emb, v_emb, aff)
 
         # similarity-BN running-stat update (torch momentum semantics,

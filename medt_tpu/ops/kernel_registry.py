@@ -64,6 +64,8 @@ class Geometry(NamedTuple):
     train: bool     # probe the backward too
     has_pos: bool   # positional tables present (False for wopos)
     dtype: str = "float32"
+    sharded: bool = False  # routed through a shard_map island; (g, S) are
+    #                        the PER-DEVICE geometry (kernel_sharding.py)
 
 
 _lock = threading.Lock()
@@ -96,12 +98,12 @@ def disabled_families() -> Dict[str, str]:
 # ---- recording --------------------------------------------------------------
 
 def record(family: str, *, span: int, g: int, gp: int, S: int, train: bool,
-           has_pos: bool, dtype=jnp.float32) -> None:
+           has_pos: bool, dtype=jnp.float32, sharded: bool = False) -> None:
     """Called from dispatch sites; no-op unless inside :func:`recording`."""
     if _recording:
         _recorded.add(Geometry(family, int(span), int(g), int(gp), int(S),
                                bool(train), bool(has_pos),
-                               jnp.dtype(dtype).name))
+                               jnp.dtype(dtype).name, bool(sharded)))
 
 
 @contextlib.contextmanager

@@ -78,11 +78,14 @@ def setup_state(cfg: Config, steps_per_epoch: int) -> TrainState:
         rng=jax.random.PRNGKey(cfg.seed),
     )
     if len(jax.devices()) > 1:
-        from ..parallel import make_mesh, shard_state
+        from ..parallel import make_mesh, set_kernel_mesh, shard_state
 
         mesh = make_mesh(dp=cfg.dp, sp=cfg.sp, tp=cfg.tp,
                          slices=cfg.num_slices)
         state = shard_state(state, mesh)
+        # fused kernels become shard_map islands over this mesh (admission
+        # then sees per-device shapes — parallel/kernel_sharding.py)
+        set_kernel_mesh(mesh)
     return state
 
 
