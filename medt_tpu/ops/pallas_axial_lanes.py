@@ -215,9 +215,15 @@ def _bwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref, aff_ref,
              for ci in range(c)]).astype(dk_ref.dtype)
 
 
-_VMEM_BUDGET = 6 << 20  # of the ~16MB/core; the estimates below measure
-# ~1.9x under Mosaic's true scoped allocation (spills, pipeline slack) on
-# the one case we drove to OOM, so ~6MB estimated targets ~11MB real
+_VMEM_BUDGET = 9 << 20  # of the 16MB scoped-vmem limit; the estimates below
+# measure ~1.9x under Mosaic's true scoped allocation (spills, pipeline
+# slack), so 9MB estimated targets ~15.9MB real — measured at the edge: the
+# flash FORWARD at (gp=4, span=64, Sb=256) compiles and runs (+5% MedT
+# end-to-end over the 6MB budget's Sb=128), while 12MB (bwd Sb=256) OOMs
+# the scoped stack at 18.2M. The BACKWARD holds ~2x the live state and its
+# real/estimated ratio runs higher (gp=8 span=32 bwd at Sb=256 fails), so
+# it keeps the proven 6MB derate:
+_VMEM_BUDGET_BWD = 6 << 20
 
 
 def _per_lane_bytes(g: int, c: int, gp: int, L: int, bwd: bool) -> int:
@@ -607,11 +613,12 @@ def _flash_pick_sblock(S: int, c: int, gp: int, L: int,
         arrays = 2 * (4 * c + 6 * gp) * L + 8 * L
     tiles = (10 if bwd else 6) * L * jb + 4 * L
     per_lane = 4 * (arrays + tiles)
-    cap = min(512, _VMEM_BUDGET // per_lane, S)
+    budget = _VMEM_BUDGET_BWD if bwd else _VMEM_BUDGET
+    cap = min(512, budget // per_lane, S)
     for Sb in range((cap // 128) * 128, 0, -128):
         if S % Sb == 0:
             return Sb
-    return S if S * per_lane <= _VMEM_BUDGET else 0
+    return S if S * per_lane <= budget else 0
 
 
 def _flash_pick_bwd(S: int, c: int, gp: int, L: int):

@@ -144,10 +144,7 @@ def test_eval_sweep_protocol(tmp_path):
 def test_uint8_transfer_path_matches_float(tmp_path):
     """output_dtype='uint8' ships bytes; the device-side /255 normalization
     must reproduce the host-side to_float01 path exactly."""
-    import jax
-
-    from medt_tpu.models import build_model
-    from medt_tpu.training import adam_l2, init_state, train_step
+    from _shared import jit_train_step, shared_state
 
     root = make_png_dataset(str(tmp_path / "ds"), n=4, img_size=32)
     kw = dict(crop=None, p_flip=0, color_jitter_params=None, long_mask=True)
@@ -158,13 +155,11 @@ def test_uint8_transfer_path_matches_float(tmp_path):
     assert img_u.dtype == np.uint8 and img_f.dtype == np.float32
     np.testing.assert_array_equal(img_f, img_u.astype(np.float32) / 255.0)
 
-    model = build_model("axialunet", img_size=32)
-    state = init_state(model, adam_l2(1e-3), (1, 32, 32, 3))
-    step = jax.jit(train_step)
-    _, m_f = step(state, {"image": jnp.asarray(img_f)[None],
-                          "label": jnp.asarray(mask_f)[None]})
-    _, m_u = step(state, {"image": jnp.asarray(img_u)[None],
-                          "label": jnp.asarray(mask_u)[None]})
+    _, state = shared_state("axialunet", 32, batch=1)
+    _, m_f = jit_train_step(state, {"image": jnp.asarray(img_f)[None],
+                                    "label": jnp.asarray(mask_f)[None]})
+    _, m_u = jit_train_step(state, {"image": jnp.asarray(img_u)[None],
+                                    "label": jnp.asarray(mask_u)[None]})
     # small drift allowed: XLA fuses the on-device /255 into neighboring
     # ops differently from the host-normalized program
     np.testing.assert_allclose(float(m_f["loss"]), float(m_u["loss"]),

@@ -209,9 +209,11 @@ def test_flash_train_matches_jnp(mode):
 
     lk.flash_lanes_core = wrapped
     try:
-        # n=4 x m=32 = 128 stripes, span 32 -> flash admission
+        # n=4 x m=32 = 128 stripes, span 32 -> flash admission; groups=2
+        # with gp=4 keeps the c>1 channel loop + pos tables covered at a
+        # quarter of the groups=8 interpret cost (admission ignores g)
         ((l1, (o1, s1)), g1), ((l2, (o2, s2)), g2) = _train_pair(
-            mode, out_planes=16, groups=8, span=32, n=4)
+            mode, out_planes=8, groups=2, span=32, n=4)
     finally:
         lk.flash_lanes_core = orig
     assert calls.get("n", 0) >= 1, "flash kernel was not invoked"
@@ -243,9 +245,11 @@ def test_flash2_train_matches_jnp(mode):
 
     lk.flash2_lanes_core = wrapped
     try:
-        # n=1 x m=128 = 128 stripes, span 128 -> flash2 admission
+        # n=1 x m=128 = 128 stripes, span 128 -> flash2 admission; groups=2
+        # with gp=4 keeps the c>1 loop + query/key streaming covered at a
+        # quarter of the groups=8 interpret cost
         ((l1, (o1, s1)), g1), ((l2, (o2, s2)), g2) = _train_pair(
-            mode, out_planes=16, groups=8, span=128, n=1)
+            mode, out_planes=8, groups=2, span=128, n=1)
     finally:
         lk.flash2_lanes_core = orig
     assert calls.get("n", 0) >= 1, "flash2 kernel was not invoked"

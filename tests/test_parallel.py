@@ -29,8 +29,10 @@ def _batch(rng, n=8, img=64):
 
 def test_partition_specs_shard_attention_groups():
     model = build_model("gatedaxialunet", img_size=64)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
-                           train=False)
+    # shape-only trace: partition specs need the param TREE, not values
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False))
     specs = partition_specs(variables["params"])
     flat = jax.tree_util.tree_flatten_with_path(
         specs, is_leaf=lambda x: isinstance(x, P)
@@ -87,9 +89,10 @@ def test_sharded_train_step_matches_single_device():
 
 
 def test_pure_dp_mesh():
-    model = build_model("axialunet", img_size=64)
-    state = init_state(model, adam_l2(1e-3), (8, 64, 64, 3))
-    batch = _batch(np.random.default_rng(1))
+    from _shared import shared_state
+
+    _, state = shared_state("axialunet", 32, batch=8)
+    batch = _batch(np.random.default_rng(1), img=32)
     mesh = make_mesh(8, dp=8, sp=1, tp=1)
     st = shard_state(state, mesh)
     bt = shard_batch(batch, mesh)

@@ -58,18 +58,18 @@ def test_adam_l2_matches_torch_adam():
 
 
 def test_train_step_decreases_loss():
-    model = build_model("axialunet", img_size=64)
-    state = init_state(model, adam_l2(1e-3), (4, 64, 64, 3))
-    batch = _synthetic_batch(np.random.default_rng(0))
-    step = jax.jit(train_step)
+    from _shared import jit_eval_step, jit_train_step, shared_state
+
+    _, state = shared_state("axialunet", 32, batch=4)
+    batch = _synthetic_batch(np.random.default_rng(0), img=32)
     losses = []
     for _ in range(8):
-        state, metrics = step(state, batch)
+        state, metrics = jit_train_step(state, batch)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
     # eval produces logits at input resolution
-    logits = jax.jit(eval_step)(state, batch)
-    assert logits.shape == (4, 64, 64, 2)
+    logits = jit_eval_step(state, batch)
+    assert logits.shape == (4, 32, 32, 2)
 
 
 def test_warmup_cosine_schedule():

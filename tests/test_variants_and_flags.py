@@ -29,10 +29,12 @@ def test_bfloat16_compute_trains():
 
 def test_remat_matches_plain_step():
     import functools
-    model = build_model("axialunet", img_size=32)
-    state = init_state(model, adam_l2(1e-3), (2, 32, 32, 3))
+
+    from _shared import jit_train_step, shared_state
+
+    _, state = shared_state("axialunet", 32, batch=2)
     batch = _batch(np.random.default_rng(1))
-    s1, m1 = jax.jit(train_step)(state, batch)
+    s1, m1 = jit_train_step(state, batch)
     s2, m2 = jax.jit(functools.partial(train_step, remat=True))(state, batch)
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
     l1 = jax.tree_util.tree_leaves(s1.params)
@@ -44,10 +46,11 @@ def test_remat_matches_plain_step():
 @pytest.mark.parametrize("name", ["gated_sig", "gated_data"])
 def test_zoo_gate_variants_train(name):
     """Sigmoid/data-dependent gates train (zoo model_codes.py:215-444)."""
-    model = build_model(name, img_size=32)
-    state = init_state(model, adam_l2(1e-3), (2, 32, 32, 3))
+    from _shared import jit_train_step, shared_state
+
+    model, state = shared_state(name, 32, batch=2)
     batch = _batch(np.random.default_rng(2))
-    state, m = jax.jit(train_step)(state, batch)
+    state, m = jit_train_step(state, batch)
     assert np.isfinite(float(m["loss"]))
     if name == "gated_sig":
         # released reference freezes sigmoid gates at (0.1, 0.1, 0.1, 5.0)
@@ -61,13 +64,15 @@ def test_zoo_gate_variants_train(name):
 
 
 def test_trainable_gates_receive_gradients():
-    model = build_model("gatedaxialunet", img_size=32, trainable_gates=True)
-    state = init_state(model, adam_l2(1e-2), (2, 32, 32, 3))
+    from _shared import jit_train_step, shared_state
+
+    _, state = shared_state("gatedaxialunet", 32, batch=2, lr=1e-2,
+                            trainable_gates=True)
     batch = _batch(np.random.default_rng(3))
     before = float(
         state.params["layer1"]["block0"]["attn_h"]["f_qr"])
     for _ in range(3):
-        state, _ = jax.jit(train_step)(state, batch)
+        state, _ = jit_train_step(state, batch)
     after = float(state.params["layer1"]["block0"]["attn_h"]["f_qr"])
     assert before == pytest.approx(0.1)
     assert after != before

@@ -77,12 +77,14 @@ def test_classifiers(name):
 def test_extractors_output_stride():
     from medt_tpu.models.extractors import EXTRACTOR_REGISTRY
 
-    x = jnp.zeros((1, 64, 64, 3))
+    x = jnp.zeros((1, 32, 32, 3))
     for name in ("resnet50_dilated", "squeezenet", "densenet"):
         model = EXTRACTOR_REGISTRY[name]()
-        variables = model.init(jax.random.PRNGKey(0), x, train=False)
-        feats, shallow = model.apply(variables, x, train=False)
-        assert feats.shape[1] == 64 // 8, (name, feats.shape)  # output stride 8
+        variables = jax.jit(model.init, static_argnames="train")(
+            jax.random.PRNGKey(0), x, train=False)
+        feats, shallow = jax.jit(model.apply, static_argnames="train")(
+            variables, x, train=False)
+        assert feats.shape[1] == 32 // 8, (name, feats.shape)  # output stride 8
         assert shallow.shape[1] >= feats.shape[1]
 
 
