@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .initializers import normal_by_fan
+from .lanes_layout import DenseLanes, avg_pool_2x_lanes
 from .norms import batch_norm_eval, batch_norm_train
 from .pooling import avg_pool_2x
 
@@ -79,6 +80,11 @@ class AxialAttention(nn.Module):
       trainable_gates: train the gates (the released reference freezes them).
       use_fused: run the fused Pallas kernel in eval mode (full/gated/wopos
         with frozen gates).
+      lanes_io: input/output are lanes activations (C, L, n, B) already
+        oriented so axis 1 is the attended axis (see ops/lanes_layout.py) —
+        the kernels' own layout, entered/left with zero relayout copies.
+        The caller (AxialBlock in lanes-resident mode) owns the orientation;
+        ``axis`` is then only a name. Param tree is identical either way.
       dtype: compute dtype for the einsums (params and BN stats stay fp32).
     """
 
@@ -92,6 +98,7 @@ class AxialAttention(nn.Module):
     gate_init: Tuple[float, float, float, float] = (0.1, 0.1, 0.1, 1.0)
     trainable_gates: bool = False
     use_fused: bool = False
+    lanes_io: bool = False
     dtype: Optional[jnp.dtype] = None
 
     # ---- parameter/state helpers -----------------------------------------
@@ -157,27 +164,42 @@ class AxialAttention(nn.Module):
         dtype = self.dtype or x.dtype
 
         data_gates_in = None
-        if self.mode == MODE_GATED_DATA:
-            data_gates_in = jnp.mean(x, axis=(1, 2))  # GAP over H, W
+        if self.lanes_io:
+            # x: (C_in, L, n, B), pre-oriented — axis 1 IS the attended axis
+            if self.mode == MODE_GATED_DATA:
+                data_gates_in = jnp.mean(x, axis=(1, 3)).T  # (n, C) GAP
+            _, L, n, m = x.shape
+            assert L == span, f"span {span} != attended extent {L}"
+            qkv_l = DenseLanes(
+                self.out_planes * 2,
+                kernel_init=normal_by_fan(self.in_planes),
+                dtype=dtype, name="qkv",
+            )(x)
+            qkv_l = self._bn("bn_qkv", (self.out_planes * 2,), qkv_l, 0, train)
+            qkv = None  # NHWC view materialized lazily by fallback paths only
+        else:
+            if self.mode == MODE_GATED_DATA:
+                data_gates_in = jnp.mean(x, axis=(1, 2))  # GAP over H, W
 
-        if self.axis == "w":
-            x = jnp.swapaxes(x, 1, 2)  # attend along axis 1 below
-        n, L, m, _ = x.shape
-        assert L == span, f"span {span} != attended extent {L}"
+            if self.axis == "w":
+                x = jnp.swapaxes(x, 1, 2)  # attend along axis 1 below
+            n, L, m, _ = x.shape
+            assert L == span, f"span {span} != attended extent {L}"
 
-        # -- qkv projection (1x1 conv == dense over channels) + BN ------------
-        qkv = nn.Dense(
-            self.out_planes * 2,
-            use_bias=False,
-            kernel_init=normal_by_fan(self.in_planes),
-            dtype=dtype,
-            param_dtype=jnp.float32,
-            name="qkv",
-        )(x)
-        qkv = self._bn("bn_qkv", (self.out_planes * 2,), qkv, -1, train)
-        # NOTE: qkv stays 4D (n, L, m, 2*out_planes) here; each path does
-        # its own (g, 2gp) split so the lanes glue can transpose straight
-        # from the dense output without an intermediate 5D relayout copy
+            # -- qkv projection (1x1 conv == dense over channels) + BN --------
+            qkv = nn.Dense(
+                self.out_planes * 2,
+                use_bias=False,
+                kernel_init=normal_by_fan(self.in_planes),
+                dtype=dtype,
+                param_dtype=jnp.float32,
+                name="qkv",
+            )(x)
+            qkv = self._bn("bn_qkv", (self.out_planes * 2,), qkv, -1, train)
+            qkv_l = None
+            # NOTE: qkv stays 4D (n, L, m, 2*out_planes) here; each path does
+            # its own (g, 2gp) split so the lanes glue can transpose straight
+            # from the dense output without an intermediate 5D relayout copy
 
         # similarity/output BN parameter shapes per mode
         if self.mode == MODE_WOPOS:
@@ -214,7 +236,7 @@ class AxialAttention(nn.Module):
         # (g -> model, S -> data x seq); admission must see the PER-DEVICE
         # geometry (parallel/kernel_sharding.py)
         mesh_, ds_, tp_ = kernel_mesh_factors()
-        stripes_ = qkv.shape[0] * qkv.shape[2]
+        stripes_ = n * m
         if mesh_ is not None and (stripes_ % ds_ or g % tp_):
             mesh_, ds_, tp_ = None, 1, 1
         s_adm, g_adm = stripes_ // ds_, g // tp_
@@ -244,15 +266,24 @@ class AxialAttention(nn.Module):
             gate_vals = self._gates(None)
             if gate_vals is None:  # full / wopos: no gating
                 gate_vals = self.gate_init
-            stripes = qkv.reshape(n, L, m, g, 2 * gp) \
-                .transpose(0, 2, 1, 3, 4).reshape(n * m, L, g, 2 * gp)
+            if self.lanes_io:
+                stripes = jnp.transpose(qkv_l, (2, 3, 1, 0)) \
+                    .reshape(n * m, L, g, 2 * gp)
+            else:
+                stripes = qkv.reshape(n, L, m, g, 2 * gp) \
+                    .transpose(0, 2, 1, 3, 4).reshape(n * m, L, g, 2 * gp)
             out = fused_eval_attention(
                 stripes.astype(jnp.float32), relative,
                 sim_scale, sim_bias, sim_mean.value, sim_var.value,
                 out_scale, out_bias, out_mean.value, out_var.value,
                 gp=gp, span=span, mode=self.mode, gates=gate_vals,
             )  # (n*m, L, g, gp)
-            out = out.reshape(n, m, L, self.out_planes).transpose(0, 2, 1, 3)
+            if self.lanes_io:
+                out = jnp.transpose(
+                    out.reshape(n, m, L, self.out_planes), (3, 2, 0, 1))
+            else:
+                out = out.reshape(n, m, L, self.out_planes) \
+                    .transpose(0, 2, 1, 3)
             out = out.astype(dtype)
         elif fused_ok or fused_train_ok:
             # fused_ok + lanes_eval lands here with train=False
@@ -260,16 +291,28 @@ class AxialAttention(nn.Module):
                 qkv, g, gp, span,
                 (sim_scale, sim_bias, sim_mean, sim_var),
                 (out_scale, out_bias, out_mean, out_var),
-                dtype, train=train,
+                dtype, train=train, qkv_lanes=qkv_l,
             )
         else:
+            if self.lanes_io:  # materialize the NHWC view for the jnp path
+                qkv = jnp.transpose(qkv_l, (2, 1, 3, 0))
             out = self._jnp_attention(
                 qkv, g, gp, span, train, data_gates_in,
                 (sim_scale, sim_bias, sim_mean, sim_var),
                 (out_scale, out_bias, out_mean, out_var),
                 dtype,
             )
+            if self.lanes_io:
+                out = jnp.transpose(out, (3, 1, 0, 2))
 
+        if self.lanes_io:
+            if self.stride > 1:
+                # NOTE: the lanes pool RE-ORIENTS: (C, A/s, n, B/s) comes
+                # back as (C, B/s, n, A/s) — the orientation swap a strided
+                # block needs anyway, fused into the pool so the lane axis
+                # is never split (see avg_pool_2x_lanes)
+                out = avg_pool_2x_lanes(out, self.stride)
+            return out
         if self.axis == "w":
             out = jnp.swapaxes(out, 1, 2)
         if self.stride > 1:
@@ -288,7 +331,7 @@ class AxialAttention(nn.Module):
                                feature_axes)
 
     def _fused_train_attention(self, qkv, g, gp, span, sim_bn, out_bn, dtype,
-                               train: bool = True):
+                               train: bool = True, qkv_lanes=None):
         """Fused attention around the custom-VJP cores.
 
         Train mode: the similarity BN's batch moments are computed by
@@ -327,7 +370,10 @@ class AxialAttention(nn.Module):
             shard_stripe_core,
         )
 
-        n, L, m = qkv.shape[0], qkv.shape[1], qkv.shape[2]
+        if qkv_lanes is not None:  # lanes-resident caller: (O, L, n, B)
+            n, L, m = qkv_lanes.shape[2], qkv_lanes.shape[1], qkv_lanes.shape[3]
+        else:
+            n, L, m = qkv.shape[0], qkv.shape[1], qkv.shape[2]
         S, c = n * m, gp // 2
 
         # active mesh -> kernels run as shard_map islands; admission and the
@@ -359,6 +405,7 @@ class AxialAttention(nn.Module):
                      and lanes_supported(span, g_adm, gp, S_adm))
         lanes_out = use_flash or use_flash2 or use_lanes
 
+        qkv_dtype = (qkv_lanes if qkv_lanes is not None else qkv).dtype
         from . import kernel_registry as _kreg
         _family = (_kreg.FAMILY_FLASH if use_flash
                    else _kreg.FAMILY_FLASH2 if use_flash2
@@ -367,7 +414,7 @@ class AxialAttention(nn.Module):
         if _family is not None:
             _kreg.record(_family, span=span, g=g_adm, gp=gp, S=S_adm,
                          train=train, has_pos=self.mode != MODE_WOPOS,
-                         dtype=qkv.dtype, sharded=mesh_ is not None)
+                         dtype=qkv_dtype, sharded=mesh_ is not None)
 
         if lanes_out:
             # single transpose straight from the 4D dense output into the
@@ -378,15 +425,25 @@ class AxialAttention(nn.Module):
             # activations stay bf16 through the transpose AND into the
             # kernels (halved copy + kernel-load HBM traffic); the kernels
             # upcast once in VMEM, which is exact
-            kdt = (jnp.bfloat16 if qkv.dtype == jnp.bfloat16
+            src = qkv_lanes if qkv_lanes is not None else qkv
+            kdt = (jnp.bfloat16 if src.dtype == jnp.bfloat16
                    else jnp.float32)
-            qkv_l = jnp.transpose(qkv, (3, 1, 0, 2)) \
-                .reshape(g, 2 * gp, L, S).astype(kdt)
+            if qkv_lanes is not None:
+                # already features-major: the kernels' layout is a FREE view
+                qkv_l = qkv_lanes.reshape(g, 2 * gp, L, S).astype(kdt)
+            else:
+                qkv_l = jnp.transpose(qkv, (3, 1, 0, 2)) \
+                    .reshape(g, 2 * gp, L, S).astype(kdt)
             q, k, v = qkv_l[:, :c], qkv_l[:, c:gp], qkv_l[:, gp:]
         else:
-            stripes = qkv.reshape(n, L, m, g, 2 * gp) \
-                .transpose(0, 2, 1, 3, 4).reshape(S, L, g, 2 * gp)
-            qkv_t = jnp.transpose(stripes, (0, 2, 3, 1)).astype(jnp.float32)
+            if qkv_lanes is not None:
+                qkv_t = jnp.transpose(qkv_lanes, (2, 3, 0, 1)) \
+                    .reshape(S, g, 2 * gp, L).astype(jnp.float32)
+            else:
+                stripes = qkv.reshape(n, L, m, g, 2 * gp) \
+                    .transpose(0, 2, 1, 3, 4).reshape(S, L, g, 2 * gp)
+                qkv_t = jnp.transpose(stripes, (0, 2, 3, 1)) \
+                    .astype(jnp.float32)
             q, k, v = qkv_t[:, :, :c], qkv_t[:, :, c:gp], qkv_t[:, :, gp:]
 
         sv_l = sve_l = None
@@ -415,7 +472,7 @@ class AxialAttention(nn.Module):
         if fuse_moments and train:
             _kreg.record(_kreg.FAMILY_MOMENTS, span=span, g=g, gp=gp, S=S,
                          train=True, has_pos=self.mode != MODE_WOPOS,
-                         dtype=qkv.dtype)
+                         dtype=qkv_dtype)
 
         if self.mode == MODE_WOPOS:
             if train:
@@ -500,6 +557,8 @@ class AxialAttention(nn.Module):
                 stacked_out = self._bn_apply(out_bn, stacked_out, (0, 1, 4),
                                              train=train)
                 y = jnp.sum(stacked_out, axis=-1)
+            if self.lanes_io:  # (C_out, L, n, B): another FREE view
+                return y.reshape(self.out_planes, L, n, m).astype(dtype)
             out = jnp.transpose(y.reshape(g, gp, L, n, m), (3, 2, 4, 0, 1))
             return out.reshape(n, L, m, self.out_planes).astype(dtype)
 
@@ -518,7 +577,10 @@ class AxialAttention(nn.Module):
             stacked_out = self._bn_apply(out_bn, stacked_out, (3, 4, 5),
                                          train=train)
             out = jnp.sum(stacked_out, axis=-1)
-        return out.reshape(n, L, m, self.out_planes).astype(dtype)
+        out = out.reshape(n, L, m, self.out_planes)
+        if self.lanes_io:  # stripe-kernel fallback: convert back to lanes
+            return jnp.transpose(out, (3, 1, 0, 2)).astype(dtype)
+        return out.astype(dtype)
 
     def _jnp_attention(self, qkv, g, gp, span, train, data_gates_in,
                        sim_bn, out_bn, dtype):

@@ -1,0 +1,129 @@
+"""Lanes-resident activation layout for axial stages.
+
+The fused axial-attention kernels (ops/pallas_axial_lanes.py) compute in a
+``(g, ch, L, S)`` layout — features major, the attended axis on sublanes,
+the S = batch x other-axis stripe dimension on lanes. The NHWC model glue
+originally converted to that layout and back around EVERY attention call:
+two qkv/sv-sized relayout copies each way, mirrored again in the backward.
+An XPlane trace of the gatedaxialunet train step showed those copies plus
+the NHWC BN/1x1-conv fusions at ~19 of 62 ms/step (30%).
+
+An AxialBlock is nothing but 1x1 convs, BNs, ReLUs and the attention pair
+(reference axialnet.py:262-302) — none of which care about the physical
+layout. So a whole stage can stay RESIDENT in the kernels' layout:
+
+    lanes activation == (C, A, n, B)
+
+with ``C`` the feature axis (major), ``A`` the axis about to be attended,
+``n`` the batch, and ``B`` the other spatial axis; kernels consume it as
+``(g, ch, A, n*B)`` via a free reshape. The only per-block layout work is
+one (C, H, n, W) <-> (C, W, n, H) swap between the height and width
+attentions and one swap back at the block end — everything else (1x1
+projections as feature-axis einsums that keep n*B on lanes for the MXU,
+BNs over the leading feature axis, pooling/striding as sublane/lane
+subsampling) computes in place. NHWC conversion happens once per stage
+boundary (models/blocks.py AxialStage).
+
+The module mirrors ``nn.Conv``/``nn.Dense`` param trees exactly (same
+names, shapes, and initializers), so a model checkpoint is layout-agnostic:
+lanes-resident and NHWC forwards load the same params.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .initializers import torch_conv_kernel_init
+
+
+def lanes_resident_enabled() -> bool:
+    """Env kill-switch (MEDT_TPU_LANES_RESIDENT=0) for A/B and debugging."""
+    return os.environ.get("MEDT_TPU_LANES_RESIDENT", "1") != "0"
+
+
+def to_lanes(x):
+    """NHWC (n, H, W, C) -> lanes (C, H, n, W), height-oriented."""
+    return jnp.transpose(x, (3, 1, 0, 2))
+
+
+def from_lanes(xl):
+    """Lanes (C, A, n, B) -> NHWC (n, A, B, C)."""
+    return jnp.transpose(xl, (2, 1, 3, 0))
+
+
+def swap_lanes(xl):
+    """(C, A, n, B) -> (C, B, n, A): re-orient for the other spatial axis."""
+    return jnp.transpose(xl, (0, 3, 2, 1))
+
+
+def avg_pool_2x_lanes(xl, stride: int):
+    """AvgPool2d(stride, stride) on (C, A, n, B) — returns RE-ORIENTED
+    (C, B/s, n, A/s).
+
+    The lane (minor) axis must never be split by a pooling reshape — doing
+    so forces a T(2,128) retiling copy of the whole activation (measured
+    ~2.7 ms per strided block each way on v5e). Instead both pools run on
+    the cheap sublane axis, with the caller's orientation swap fused in
+    between: pool A (sublanes) -> transpose to the other orientation ->
+    pool the former B (now on sublanes). Strided blocks therefore get
+    their h/w re-orientation for free and skip the separate block-end
+    swap (models/blocks.py)."""
+    c, a, n, b = xl.shape
+    x = xl.astype(jnp.float32)
+    x = x.reshape(c, a // stride, stride, n, b).mean(axis=2)
+    x = jnp.transpose(x, (0, 3, 2, 1))  # (C, B, n, A/s)
+    x = x.reshape(c, b // stride, stride, n, a // stride).mean(axis=2)
+    return x.astype(xl.dtype)
+
+
+def _feature_dot(xl, kernel_cf, dtype):
+    """(C, L, n, B) x (C, F) -> (F, L, n, B) with the feature dim on the
+    dot's LHS: the MXU output (F, L*n*B) is then natively lanes-major —
+    an einsum with F on the RHS ("clnb,cf->flnb") makes XLA compute the
+    NHWC-style (lnb, f) product and physically relayout the result, which
+    reintroduces exactly the per-op copies this layout exists to avoid."""
+    dt = dtype or xl.dtype
+    return jnp.einsum("fc,clnb->flnb", kernel_cf.T.astype(dt), xl.astype(dt))
+
+
+class Conv1x1Lanes(nn.Module):
+    """1x1 conv on a lanes activation; param tree identical to ``conv1x1``.
+
+    The kernel keeps ``nn.Conv``'s (1, 1, C_in, F) shape and torch init so
+    checkpoints transfer between the NHWC and lanes-resident forwards. A
+    stride subsamples both spatial axes first (torch stride-2 1x1 conv ==
+    every-other-pixel then matmul).
+    """
+
+    features: int
+    stride: int = 1
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, xl):
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init,
+            (1, 1, xl.shape[0], self.features), jnp.float32,
+        )
+        if self.stride > 1:
+            xl = xl[:, :: self.stride, :, :: self.stride]
+        return _feature_dot(xl, kernel[0, 0], self.dtype)
+
+
+class DenseLanes(nn.Module):
+    """Feature-axis dense on a lanes activation; mirrors ``nn.Dense``
+    (kernel (C_in, F), no bias) so the qkv projection's param tree is
+    unchanged."""
+
+    features: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, xl):
+        kernel = self.param("kernel", self.kernel_init,
+                            (xl.shape[0], self.features), jnp.float32)
+        return _feature_dot(xl, kernel, self.dtype)
