@@ -72,6 +72,12 @@ def avg_pool_2x_lanes(xl, stride: int):
     their h/w re-orientation for free and skip the separate block-end
     swap (models/blocks.py)."""
     c, a, n, b = xl.shape
+    # the NHWC avg_pool_2x uses VALID reduce_window (odd extents truncate);
+    # the reshape windows here require exact divisibility — make the
+    # divergence explicit rather than failing with a reshape error
+    assert a % stride == 0 and b % stride == 0, (
+        f"avg_pool_2x_lanes needs extents divisible by stride, got "
+        f"({a}, {b}) % {stride}; use the NHWC path for odd extents")
     x = xl.astype(jnp.float32)
     x = x.reshape(c, a // stride, stride, n, b).mean(axis=2)
     x = jnp.transpose(x, (0, 3, 2, 1))  # (C, B, n, A/s)

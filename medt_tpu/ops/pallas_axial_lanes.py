@@ -248,13 +248,19 @@ def _pick_sblock(S: int, g: int, c: int, gp: int, L: int,
 
     Mosaic requires the minor (lane) block dim be a multiple of 128 or the
     whole axis, so candidates are 128-multiples dividing S (S itself as the
-    fallback when no such divisor exists and S fits the budget)."""
+    fallback when no such divisor exists and S fits the budget).
+
+    The backward uses the derated ``_VMEM_BUDGET_BWD`` (same asymmetry as
+    ``_flash_pick_sblock``): it holds ~2x the live state and its
+    real/estimated scoped-VMEM ratio runs higher, so the 9MB forward budget
+    would target ~17MB real > the 16MB limit."""
     per_lane = _per_lane_bytes(g, c, gp, L, bwd)
-    cap = min(1024, _VMEM_BUDGET // per_lane, S)
+    budget = _VMEM_BUDGET_BWD if bwd else _VMEM_BUDGET
+    cap = min(1024, budget // per_lane, S)
     for Sb in range((cap // 128) * 128, 0, -128):
         if S % Sb == 0:
             return Sb
-    return S if S * per_lane <= _VMEM_BUDGET else 0
+    return S if S * per_lane <= budget else 0
 
 
 def _interpret_default(interpret: Optional[bool]) -> bool:

@@ -11,6 +11,14 @@ guarantees by memoizing on the build arguments.
 
 Tests never mutate these states (train_step is functional), so sharing the
 initial state is safe.
+
+CAVEAT — env-flag-sensitive tests must NOT use the shared jits: the model
+forward branches on flags read at TRACE time (e.g. MEDT_TPU_LANES_RESIDENT
+via lanes_resident_enabled), and TrainState.apply_fn compares equal across
+flag values, so a test that toggles the env var and reuses ``jit_train_step``
+on previously-seen shapes silently gets the stale layout's cached
+executable. Build a fresh ``jax.jit(train_step)`` per flag value instead
+(as tests/test_lanes_resident.py does).
 """
 from functools import lru_cache
 

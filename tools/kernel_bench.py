@@ -22,6 +22,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+# tools/ itself, so main() can import tpu_smoke even when this module was
+# imported (python -m / from another script) rather than run as a file
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 import jax
