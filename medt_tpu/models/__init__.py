@@ -118,6 +118,17 @@ def logo_512(**kw):
     return MedTNet(global_mode="full", local_mode="full", s=0.125, **kw)
 
 
+@register_model("mix_net_gated_d")
+def mix_net_gated_d(**kw):
+    """Dual-branch LoGo built entirely from data-gated blocks: the zoo's
+    ``mix`` prototype with ``AxialBlock_gated_data`` in BOTH branches
+    (reference model_codes.py:2306-2308 passing one block class to
+    mix :1229-1236, whose layer1..4 and *_p layers all use it; the
+    per-sample GAP->MLP->sigmoid gates are model_codes.py:316-444)."""
+    return MedTNet(global_mode="gated_data", local_mode="gated_data",
+                   s=0.125, **kw)
+
+
 @register_model("axialunet_wopos")
 def axialunet_wopos(**kw):
     """Position-free U-Net (resxialunet_wopos, model_codes.py:2287-2289)."""

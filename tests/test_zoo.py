@@ -34,6 +34,36 @@ def test_zoo_segmentation_variants(name):
         assert y.shape == (1, 32, 32, 2)
 
 
+def test_mix_net_gated_d_forward_and_train():
+    """Dual-branch LoGo with data-gated blocks in BOTH branches
+    (reference model_codes.py:2306-2308): forward shape, per-sample gate
+    params exist in both branch trees, and a train step reduces."""
+    from medt_tpu.training import adam_l2, init_state, train_step
+
+    model = build_seg_model("mix_net_gated_d", img_size=64, patch_grid=2)
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, 64, 64, 2)
+    # the GAP->MLP gate head (gate_fc1/gate_fc2) must appear in global AND
+    # local branch attention params
+    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    paths = {jax.tree_util.keystr(p) for p, _ in flat}
+    gate_paths = {p for p in paths if "gate_fc1" in p}
+    assert any("_p" in p or "local" in p for p in gate_paths), sorted(gate_paths)[:5]
+    assert any("_p" not in p and "local" not in p for p in gate_paths), \
+        sorted(gate_paths)[:5]
+
+    state = init_state(model, adam_l2(1e-3), (2, 64, 64, 3))
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 2, size=(2, 64, 64))),
+    }
+    state, metrics = jax.jit(train_step)(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_deep_supervision_train_step():
     """The train step consumes (logits, aux) outputs via the multi-scale
     deep-supervision loss and still reduces a scalar."""
