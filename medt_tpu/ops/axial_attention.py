@@ -244,16 +244,19 @@ class AxialAttention(nn.Module):
         # spans: plain lanes; mid spans: key-streamed flash variant)
         lanes_eval = ((span <= 16 and lanes_supported(span, g_adm, gp, s_adm))
                       or flash_supported(span, g_adm, gp, s_adm))
-        if mesh_ is not None:
-            # the stripe-major eval kernel has no sharding island; under a
-            # mesh the islanded lanes families (below) or XLA take over
-            fused_ok = fused_ok and lanes_eval
         if fused_ok and not lanes_eval:
-            from .pallas_axial import fused_eval_attention
+            from .pallas_axial import axial_attention_fused, fused_eval_attention
+            from ..parallel.kernel_sharding import shard_eval_core
             from . import kernel_registry as _kreg
-            _kreg.record(_kreg.FAMILY_EVAL, span=span, g=g, gp=gp,
-                         S=stripes_, train=False,
-                         has_pos=self.mode != MODE_WOPOS)
+            _kreg.record(_kreg.FAMILY_EVAL, span=span, g=g_adm, gp=gp,
+                         S=s_adm, train=False,
+                         has_pos=self.mode != MODE_WOPOS,
+                         sharded=mesh_ is not None)
+            # under a mesh the kernel runs as a shard_map island over
+            # (g -> model, S -> data x seq); the BN/gate folding glue stays
+            # plain (GSPMD-partitioned) XLA around it
+            eval_core = (None if mesh_ is None
+                         else shard_eval_core(axial_attention_fused, mesh_))
 
             relative = None
             if self.mode != MODE_WOPOS:
@@ -277,6 +280,7 @@ class AxialAttention(nn.Module):
                 sim_scale, sim_bias, sim_mean.value, sim_var.value,
                 out_scale, out_bias, out_mean.value, out_var.value,
                 gp=gp, span=span, mode=self.mode, gates=gate_vals,
+                core=eval_core,
             )  # (n*m, L, g, gp)
             if self.lanes_io:
                 out = jnp.transpose(
@@ -456,11 +460,17 @@ class AxialAttention(nn.Module):
             moments_kernel_supported,
             qk_moments_lanes_fused,
         )
-        # the moments kernel reduces over the (sharded) stripe axis, so it
-        # stays single-device; under a mesh the factorized XLA moments take
-        # over (GSPMD turns their S-reductions into psums)
-        fuse_moments = (lanes_out and mesh_ is None
-                        and moments_kernel_supported(span, gp, S))
+        # under a mesh the moments kernel runs as its own island: each
+        # device reduces its local stripe block to partial sums, combined
+        # by a plain XLA sum outside (kernel_sharding.shard_moments_core) —
+        # admission sees the PER-DEVICE stripe count
+        fuse_moments = (lanes_out
+                        and moments_kernel_supported(span, gp, S_adm))
+        mom_core = None  # default in-island core (single device)
+        if fuse_moments and mesh_ is not None:
+            from .pallas_moments import moment_sums_core
+            from ..parallel.kernel_sharding import shard_moments_core
+            mom_core = shard_moments_core(moment_sums_core, mesh_)
 
         def _island(core, stripe=False):
             """Wrap a kernel core in its shard_map island when a mesh is
@@ -470,13 +480,16 @@ class AxialAttention(nn.Module):
             return (shard_stripe_core if stripe
                     else shard_lanes_core)(core, mesh_)
         if fuse_moments and train:
-            _kreg.record(_kreg.FAMILY_MOMENTS, span=span, g=g, gp=gp, S=S,
-                         train=True, has_pos=self.mode != MODE_WOPOS,
-                         dtype=qkv_dtype)
+            _kreg.record(_kreg.FAMILY_MOMENTS, span=span, g=g_adm, gp=gp,
+                         S=S_adm, train=True,
+                         has_pos=self.mode != MODE_WOPOS,
+                         dtype=qkv_dtype, sharded=mesh_ is not None)
 
+        import functools as _ft
         if self.mode == MODE_WOPOS:
             if train:
-                moments = (qk_moments_lanes_fused if fuse_moments
+                moments = (_ft.partial(qk_moments_lanes_fused, core=mom_core)
+                           if fuse_moments
                            else qk_moments_lanes if lanes_out else qk_moments)
                 mean_b, var_b, count = moments(q, k)
                 a, b = fold_train_affine(sim_scale, sim_bias, mean_b, var_b)
@@ -515,7 +528,9 @@ class AxialAttention(nn.Module):
                 k_emb = k_emb * f_kr
                 v_emb = v_emb * f_sve
             if train:
-                moments = (logit_moments_lanes_fused if fuse_moments
+                moments = (_ft.partial(logit_moments_lanes_fused,
+                                       core=mom_core)
+                           if fuse_moments
                            else logit_moments_lanes if lanes_out
                            else logit_moments)
                 mean_b, var_b, count = moments(q, k, q_emb, k_emb)

@@ -197,7 +197,8 @@ def fused_eval_attention(x_qkv, relative,
                          *, gp: int, span: int, mode: str = "gated",
                          gates=(0.1, 0.1, 0.1, 1.0), eps: float = 1e-5,
                          stripe_block: int = 32,
-                         interpret: Optional[bool] = None):
+                         interpret: Optional[bool] = None,
+                         core=None):
     """Fold gates + BN running stats and call the kernel.
 
     Args:
@@ -206,6 +207,10 @@ def fused_eval_attention(x_qkv, relative,
       relative: (2*gp, 2*span-1) table, or None for wopos.
       sim_*: (3, g) similarity BN params/stats ((g,) for wopos).
       out_*: (g, gp, 2) output BN params/stats ((g, gp) for wopos).
+      core: overrides the kernel call — under an active mesh the caller
+        passes the shard_map island (kernel_sharding.shard_eval_core around
+        ``axial_attention_fused``); the folding glue here stays plain XLA,
+        which GSPMD partitions around the island.
     Returns: (S, L, g, gp) output matching the jnp path's pre-reshape layout.
     """
     from .axial_attention import relative_logit_index
@@ -247,8 +252,8 @@ def fused_eval_attention(x_qkv, relative,
             axis=1,
         )  # (g, 4, gp)
 
-    out = axial_attention_fused(
-        q, k, v, q_emb, k_emb, v_emb, sim_affine, out_affine,
-        stripe_block=stripe_block, interpret=interpret,
-    )                                            # (S, g, gp, L)
+    import functools
+    kernel = core or functools.partial(
+        axial_attention_fused, stripe_block=stripe_block, interpret=interpret)
+    out = kernel(q, k, v, q_emb, k_emb, v_emb, sim_affine, out_affine)
     return jnp.transpose(out, (0, 3, 1, 2))      # (S, L, g, gp)

@@ -383,33 +383,40 @@ def moments_kernel_supported(span: int, gp: int, stripes: int) -> bool:
             and _pick_sblock(stripes, c, span) >= 128)
 
 
-def logit_moments_lanes_fused(q, k, qemb, kemb):
+def logit_moments_lanes_fused(q, k, qemb, kemb, core=None):
     """Drop-in for pallas_axial_train.logit_moments_lanes: one kernel pass.
 
     q, k: (g, c, L, S); qemb/kemb: (c, L, L) gate-folded tables in the
     all_emb coordinates (kr reads kemb as [c, j, i]).
     Returns (mean, var_biased, count) with mean/var shaped (3, g).
+
+    ``core`` overrides the sums core — under an active mesh the caller
+    passes the shard_map island (parallel/kernel_sharding.py
+    shard_moments_core), which reduces per-device partials and combines
+    them outside; q/k then carry their GLOBAL shapes here, so n is right.
     """
     g, c, L, S = q.shape
     n = S * L * L
+    core = core or moment_sums_core
     r_q = jnp.sum(qemb, axis=2)                       # (c, i)
     e_q = jnp.einsum("cij,dij->cdi", qemb, qemb)      # (c, c, i)
     r_k = jnp.sum(kemb, axis=2)                       # (c, j)
     e_k = jnp.einsum("cji,dji->cdj", kemb, kemb)      # (c, c, j)
-    sums = moment_sums_core(q, k, r_q, e_q, r_k, e_k)
+    sums = core(q, k, r_q, e_q, r_k, e_k)
     mean = jnp.stack([sums[:, 0], sums[:, 2], sums[:, 4]]) / n
     msq = jnp.stack([sums[:, 1], sums[:, 3], sums[:, 5]]) / n
     var = jnp.maximum(msq - jnp.square(mean), 0.0)
     return mean, var, n
 
 
-def qk_moments_lanes_fused(q, k):
+def qk_moments_lanes_fused(q, k, core=None):
     """Drop-in for pallas_axial_train.qk_moments_lanes (wopos: qk only)."""
     g, c, L, S = q.shape
     n = S * L * L
+    core = core or moment_sums_core
     zr = jnp.zeros((0, L), _F32)
     ze = jnp.zeros((0, 0, L), _F32)
-    sums = moment_sums_core(q, k, zr, ze, zr, ze)
+    sums = core(q, k, zr, ze, zr, ze)
     m1 = sums[:, 0] / n
     m2 = sums[:, 1] / n
     var = jnp.maximum(m2 - jnp.square(m1), 0.0)

@@ -105,3 +105,53 @@ def shard_stripe_core(core, mesh: Mesh):
         out_specs=(_STRIPE_QKV, _STRIPE_QKV),
         check_vma=False,
     )
+
+
+def shard_moments_core(core, mesh: Mesh):
+    """shard_map the one-pass moments core (pallas_moments) over ``mesh``.
+
+    The moment sums are linear accumulations over the stripe axis, so each
+    device reduces its LOCAL ``(g/tp, c, L, S/(dp*sp))`` block to partial
+    sums and the combination happens OUTSIDE the island: the island emits a
+    ``(dp*sp, g, 8)`` array with each (data, seq) shard's partials in its
+    own slot, and the caller sums axis 0 as a plain (GSPMD-partitioned,
+    trivially differentiable) XLA reduction. No collective runs inside the
+    island, and the transpose path is the same slice-back + custom-VJP
+    composition as the attention islands (verified sharded-vs-unsharded in
+    tests/test_kernel_sharding.py)."""
+    def local(q, k, r_q, e_q, r_k, e_k):
+        return core(q, k, r_q, e_q, r_k, e_k)[None]  # (1, g_local, 8)
+
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(_LANES_QKV, _LANES_QKV,
+                  _TABLE, _TABLE, _TABLE, _TABLE),
+        out_specs=P(("data", "seq"), "model", None),
+        check_vma=False,
+    )
+
+    def call(q, k, r_q, e_q, r_k, e_k):
+        import jax.numpy as jnp
+        return jnp.sum(f(q, k, r_q, e_q, r_k, e_k), axis=0)  # (g, 8)
+
+    return call
+
+
+# eval-kernel (pallas_axial) operand layouts: q/k (S, g, c, L), v (S, g, gp, L)
+_EVAL_QKV = P(("data", "seq"), "model", None, None)
+_EVAL_SIMAFF = P("model", None)        # (g, 8)
+_EVAL_OUTAFF = P("model", None, None)  # (g, 4, gp)
+
+
+def shard_eval_core(core, mesh: Mesh):
+    """shard_map the stripe-major eval kernel (pallas_axial
+    axial_attention_fused) over ``mesh``: stripes over (data, seq), groups
+    over model, tables replicated, per-group affines sharded with the group
+    axis. Inference-only — no VJP involved."""
+    return jax.shard_map(
+        core, mesh=mesh,
+        in_specs=(_EVAL_QKV, _EVAL_QKV, _EVAL_QKV,
+                  _TABLE, _TABLE, _TABLE, _EVAL_SIMAFF, _EVAL_OUTAFF),
+        out_specs=_EVAL_QKV,
+        check_vma=False,
+    )

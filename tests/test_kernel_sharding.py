@@ -108,6 +108,70 @@ def test_stripe_core_sharded_grads_match():
                             (q, k, v, qe, ke, ve, aff), mesh)
 
 
+def test_moments_core_sharded_matches():
+    """The one-pass moments island (per-device partial sums + outside
+    combine) reproduces the unsharded kernel's sums AND gradients —
+    including the replicated table cotangents."""
+    from medt_tpu.ops.pallas_moments import moment_sums_core
+    from medt_tpu.parallel.kernel_sharding import shard_moments_core
+
+    mesh = make_mesh(8, dp=2, sp=2, tp=2)
+    g, c, L, S = 8, 2, 16, 512  # 128 stripes per (data x seq) shard
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.normal(size=(g, c, L, S)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(g, c, L, S)).astype(np.float32))
+    r_q = jnp.asarray(rng.normal(size=(c, L)).astype(np.float32))
+    e_q = jnp.asarray(rng.normal(size=(c, c, L)).astype(np.float32))
+    r_k = jnp.asarray(rng.normal(size=(c, L)).astype(np.float32))
+    e_k = jnp.asarray(rng.normal(size=(c, c, L)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(g, 8)).astype(np.float32))
+
+    def make_loss(core):
+        def loss(q, k, r_q, e_q, r_k, e_k):
+            return jnp.sum(core(q, k, r_q, e_q, r_k, e_k) * w)
+        return loss
+
+    sharded = shard_moments_core(moment_sums_core, mesh)
+    l1, g1 = jax.jit(jax.value_and_grad(
+        make_loss(moment_sums_core), argnums=tuple(range(6))))(
+        q, k, r_q, e_q, r_k, e_k)
+    l2, g2 = jax.jit(jax.value_and_grad(
+        make_loss(sharded), argnums=tuple(range(6))))(
+        q, k, r_q, e_q, r_k, e_k)
+    # the sums accumulate S*L*L = 131k products; loosen atol accordingly
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for i, (a, b) in enumerate(zip(g1, g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3,
+                                   err_msg=f"grad argnum {i}")
+
+
+def test_eval_core_sharded_matches():
+    """The stripe-major eval kernel island (inference-only) reproduces the
+    unsharded kernel's outputs under the mesh."""
+    from medt_tpu.ops.pallas_axial import axial_attention_fused
+    from medt_tpu.parallel.kernel_sharding import shard_eval_core
+
+    mesh = make_mesh(8, dp=2, sp=2, tp=2)
+    g, c, gp, L, S = 8, 2, 4, 32, 64
+    rng = np.random.default_rng(13)
+    q = jnp.asarray(rng.normal(size=(S, g, c, L)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(S, g, c, L)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(S, g, gp, L)).astype(np.float32))
+    qe = jnp.asarray(rng.normal(size=(c, L, L)).astype(np.float32))
+    ke = jnp.asarray(rng.normal(size=(c, L, L)).astype(np.float32))
+    ve = jnp.asarray(rng.normal(size=(gp, L, L)).astype(np.float32))
+    sim_aff = jnp.asarray(rng.normal(size=(g, 8)).astype(np.float32))
+    out_aff = jnp.asarray(rng.normal(size=(g, 4, gp)).astype(np.float32))
+
+    out1 = jax.jit(axial_attention_fused)(q, k, v, qe, ke, ve,
+                                          sim_aff, out_aff)
+    out2 = jax.jit(shard_eval_core(axial_attention_fused, mesh))(
+        q, k, v, qe, ke, ve, sim_aff, out_aff)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_kernel_mesh_factors():
     assert kernel_mesh_factors() == (None, 1, 1)
     mesh = make_mesh(8, dp=2, sp=2, tp=2)
