@@ -52,7 +52,9 @@ class AxialBlock(nn.Module):
     trainable_gates: bool = False
     use_attention: bool = True     # False = pure-conv ablation (zoo AxialBlockmod)
     use_fused: bool = False        # fused Pallas kernel on the eval path
-    lanes_resident: bool = False   # x in/out are lanes activations (C,H,n,W)
+    lanes_resident: bool = False   # x in/out are lanes activations (C,H,n*W)
+    lanes_batch: int = 0           # static batch n for the lanes layout's
+    #                                (n, B) splits (set by AxialStage)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -105,12 +107,14 @@ class AxialBlock(nn.Module):
         return nn.relu(out + identity)
 
     def _lanes_forward(self, x, train: bool):
-        """Lanes-resident forward: x is (C_in, H, n, W), h-oriented; the
-        return is (C_out, H', n, W') h-oriented for the next block. Same
+        """Lanes-resident forward: x is (C_in, H, n*W), h-oriented; the
+        return is (C_out, H', n*W') h-oriented for the next block. Same
         math, params, and running stats as the NHWC forward above."""
         width = int(self.planes * (self.base_width / 64.0))
         out_planes = self.planes * self.expansion
         needs_downsample = self.stride != 1 or self.inplanes != out_planes
+        n = self.lanes_batch
+        assert n > 0, "lanes_resident blocks need lanes_batch"
 
         out = Conv1x1Lanes(width, name="conv_down", dtype=self.dtype)(x)
         out = BatchNorm(name="bn1", feature_axes=0)(
@@ -122,16 +126,16 @@ class AxialBlock(nn.Module):
             groups=self.groups, axis="h", mode=self.attention_mode,
             gate_init=self.gate_init,
             trainable_gates=self.trainable_gates, use_fused=self.use_fused,
-            lanes_io=True, dtype=self.dtype, name="attn_h",
+            lanes_io=True, lanes_batch=n, dtype=self.dtype, name="attn_h",
         )(out, train=train)
-        out = swap_lanes(out)  # -> (width, W, n, H) for the width attention
+        out = swap_lanes(out, n)  # -> (width, W, n*H) for the width attention
         out = AxialAttention(
             in_planes=width, out_planes=width, span=self.span,
             groups=self.groups, axis="w", stride=self.stride,
             mode=self.attention_mode, gate_init=self.gate_init,
             trainable_gates=self.trainable_gates,
-            use_fused=self.use_fused, lanes_io=True, dtype=self.dtype,
-            name="attn_w",
+            use_fused=self.use_fused, lanes_io=True, lanes_batch=n,
+            dtype=self.dtype, name="attn_w",
         )(out, train=train)
         out = nn.relu(out)
 
@@ -139,7 +143,7 @@ class AxialBlock(nn.Module):
         out = BatchNorm(name="bn2", feature_axes=0)(
             out, use_running_average=not train)
         if self.stride == 1:
-            out = swap_lanes(out)  # back to (C, H, n, W) h-orientation
+            out = swap_lanes(out, n)  # back to (C, H, n*W) h-orientation
         # (strided blocks come back h-oriented already: the attention's
         # lanes pool fuses the re-orientation — see avg_pool_2x_lanes)
 
@@ -147,7 +151,7 @@ class AxialBlock(nn.Module):
         if needs_downsample:
             identity = Conv1x1Lanes(out_planes, stride=self.stride,
                                     name="downsample_conv",
-                                    dtype=self.dtype)(x)
+                                    dtype=self.dtype)(x, n=n)
             identity = BatchNorm(name="downsample_bn", feature_axes=0)(
                 identity, use_running_average=not train)
 
@@ -183,6 +187,7 @@ class AxialStage(nn.Module):
         # (the pure-conv ablation's 3x3 conv needs NHWC, so it opts out)
         resident = (self.use_fused and self.use_attention
                     and lanes_resident_enabled())
+        n = x.shape[0]
         if resident:
             x = to_lanes(x)
         for i in range(self.blocks):
@@ -196,13 +201,14 @@ class AxialStage(nn.Module):
                 use_attention=self.use_attention,
                 use_fused=self.use_fused,
                 lanes_resident=resident,
+                lanes_batch=n if resident else 0,
                 dtype=self.dtype, name=f"block{i}",
             )(x, train=train)
             inplanes = self.planes * AxialBlock.expansion
             if i == 0 and self.stride != 1:
                 span = span // 2
         if resident:
-            x = from_lanes(x)
+            x = from_lanes(x, n)
         return x
 
     @property

@@ -80,11 +80,13 @@ class AxialAttention(nn.Module):
       trainable_gates: train the gates (the released reference freezes them).
       use_fused: run the fused Pallas kernel in eval mode (full/gated/wopos
         with frozen gates).
-      lanes_io: input/output are lanes activations (C, L, n, B) already
-        oriented so axis 1 is the attended axis (see ops/lanes_layout.py) —
-        the kernels' own layout, entered/left with zero relayout copies.
-        The caller (AxialBlock in lanes-resident mode) owns the orientation;
-        ``axis`` is then only a name. Param tree is identical either way.
+      lanes_io: input/output are lanes activations (C, L, S) already
+        oriented so axis 1 is the attended axis and S = n*B flattened with
+        the batch major (see ops/lanes_layout.py) — physically the kernels'
+        own layout, entered/left with zero relayout copies. The caller
+        (AxialBlock in lanes-resident mode) owns the orientation and passes
+        the static batch via ``lanes_batch``; ``axis`` is then only a name.
+        Param tree is identical either way.
       dtype: compute dtype for the einsums (params and BN stats stay fp32).
     """
 
@@ -99,6 +101,7 @@ class AxialAttention(nn.Module):
     trainable_gates: bool = False
     use_fused: bool = False
     lanes_io: bool = False
+    lanes_batch: int = 0      # static batch n of a lanes_io caller
     dtype: Optional[jnp.dtype] = None
 
     # ---- parameter/state helpers -----------------------------------------
@@ -165,10 +168,14 @@ class AxialAttention(nn.Module):
 
         data_gates_in = None
         if self.lanes_io:
-            # x: (C_in, L, n, B), pre-oriented — axis 1 IS the attended axis
+            # x: (C_in, L, S=n*B), pre-oriented — axis 1 IS the attended axis
+            _, L, S_io = x.shape
+            n = self.lanes_batch
+            assert n > 0, "lanes_io needs lanes_batch"
+            m = S_io // n
             if self.mode == MODE_GATED_DATA:
-                data_gates_in = jnp.mean(x, axis=(1, 3)).T  # (n, C) GAP
-            _, L, n, m = x.shape
+                data_gates_in = jnp.mean(
+                    x.reshape(x.shape[0], L, n, m), axis=(1, 3)).T  # (n,C) GAP
             assert L == span, f"span {span} != attended extent {L}"
             qkv_l = DenseLanes(
                 self.out_planes * 2,
@@ -270,7 +277,8 @@ class AxialAttention(nn.Module):
             if gate_vals is None:  # full / wopos: no gating
                 gate_vals = self.gate_init
             if self.lanes_io:
-                stripes = jnp.transpose(qkv_l, (2, 3, 1, 0)) \
+                # (C, L, S) -> (S, L, C): the minor C split to (g, 2gp) is free
+                stripes = jnp.transpose(qkv_l, (2, 1, 0)) \
                     .reshape(n * m, L, g, 2 * gp)
             else:
                 stripes = qkv.reshape(n, L, m, g, 2 * gp) \
@@ -284,7 +292,7 @@ class AxialAttention(nn.Module):
             )  # (n*m, L, g, gp)
             if self.lanes_io:
                 out = jnp.transpose(
-                    out.reshape(n, m, L, self.out_planes), (3, 2, 0, 1))
+                    out.reshape(n * m, L, self.out_planes), (2, 1, 0))
             else:
                 out = out.reshape(n, m, L, self.out_planes) \
                     .transpose(0, 2, 1, 3)
@@ -299,7 +307,8 @@ class AxialAttention(nn.Module):
             )
         else:
             if self.lanes_io:  # materialize the NHWC view for the jnp path
-                qkv = jnp.transpose(qkv_l, (2, 1, 3, 0))
+                qkv = jnp.transpose(
+                    qkv_l.reshape(-1, L, n, m), (2, 1, 3, 0))
             out = self._jnp_attention(
                 qkv, g, gp, span, train, data_gates_in,
                 (sim_scale, sim_bias, sim_mean, sim_var),
@@ -307,7 +316,8 @@ class AxialAttention(nn.Module):
                 dtype,
             )
             if self.lanes_io:
-                out = jnp.transpose(out, (3, 1, 0, 2))
+                out = jnp.transpose(out, (3, 1, 0, 2)) \
+                    .reshape(self.out_planes, L, n * m)
 
         if self.lanes_io:
             if self.stride > 1:
@@ -315,7 +325,7 @@ class AxialAttention(nn.Module):
                 # back as (C, B/s, n, A/s) — the orientation swap a strided
                 # block needs anyway, fused into the pool so the lane axis
                 # is never split (see avg_pool_2x_lanes)
-                out = avg_pool_2x_lanes(out, self.stride)
+                out = avg_pool_2x_lanes(out, self.stride, n)
             return out
         if self.axis == "w":
             out = jnp.swapaxes(out, 1, 2)
@@ -374,8 +384,10 @@ class AxialAttention(nn.Module):
             shard_stripe_core,
         )
 
-        if qkv_lanes is not None:  # lanes-resident caller: (O, L, n, B)
-            n, L, m = qkv_lanes.shape[2], qkv_lanes.shape[1], qkv_lanes.shape[3]
+        if qkv_lanes is not None:  # lanes-resident caller: (O, L, S)
+            L = qkv_lanes.shape[1]
+            n = self.lanes_batch
+            m = qkv_lanes.shape[2] // n
         else:
             n, L, m = qkv.shape[0], qkv.shape[1], qkv.shape[2]
         S, c = n * m, gp // 2
@@ -441,7 +453,7 @@ class AxialAttention(nn.Module):
             q, k, v = qkv_l[:, :c], qkv_l[:, c:gp], qkv_l[:, gp:]
         else:
             if qkv_lanes is not None:
-                qkv_t = jnp.transpose(qkv_lanes, (2, 3, 0, 1)) \
+                qkv_t = jnp.transpose(qkv_lanes, (2, 0, 1)) \
                     .reshape(S, g, 2 * gp, L).astype(jnp.float32)
             else:
                 stripes = qkv.reshape(n, L, m, g, 2 * gp) \
@@ -572,8 +584,8 @@ class AxialAttention(nn.Module):
                 stacked_out = self._bn_apply(out_bn, stacked_out, (0, 1, 4),
                                              train=train)
                 y = jnp.sum(stacked_out, axis=-1)
-            if self.lanes_io:  # (C_out, L, n, B): another FREE view
-                return y.reshape(self.out_planes, L, n, m).astype(dtype)
+            if self.lanes_io:  # (C_out, L, S): another FREE view
+                return y.reshape(self.out_planes, L, n * m).astype(dtype)
             out = jnp.transpose(y.reshape(g, gp, L, n, m), (3, 2, 4, 0, 1))
             return out.reshape(n, L, m, self.out_planes).astype(dtype)
 
@@ -594,7 +606,8 @@ class AxialAttention(nn.Module):
             out = jnp.sum(stacked_out, axis=-1)
         out = out.reshape(n, L, m, self.out_planes)
         if self.lanes_io:  # stripe-kernel fallback: convert back to lanes
-            return jnp.transpose(out, (3, 1, 0, 2)).astype(dtype)
+            return jnp.transpose(out, (3, 1, 0, 2)) \
+                .reshape(self.out_planes, L, n * m).astype(dtype)
         return out.astype(dtype)
 
     def _jnp_attention(self, qkv, g, gp, span, train, data_gates_in,
