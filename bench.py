@@ -89,6 +89,40 @@ def _flops_cpu(fn, *args) -> float | None:
         return None
 
 
+_FLOPS_CACHE_PATH = __file__.replace("bench.py", "flops_cache.json")
+
+
+def _flops_cached(key: str, compute) -> float | None:
+    """FLOPs denominators from a COMMITTED cache file.
+
+    The denominator is a property of the model's math, not the run — but
+    producing it means compiling the whole unfused model on this box's
+    single CPU core (minutes for MedT), which is what starved the eval
+    section out of the round-3 driver bench. Cache hits make the
+    denominators free; a miss recomputes and refreshes the file.
+    """
+    import os
+    cache = {}
+    try:
+        with open(_FLOPS_CACHE_PATH) as f:
+            cache = json.load(f)
+    except Exception:
+        pass
+    if key in cache:
+        return cache[key]
+    val = compute()
+    if val is not None:
+        cache[key] = val
+        try:
+            tmp = _FLOPS_CACHE_PATH + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(cache, f, indent=1, sort_keys=True)
+            os.replace(tmp, _FLOPS_CACHE_PATH)
+        except Exception:
+            pass
+    return val
+
+
 def _timed(fn, *args, sync) -> float:
     """Median-free simple wall measurement: total seconds for MEASURE_CALLS."""
     t0 = time.perf_counter()
@@ -99,13 +133,42 @@ def _timed(fn, *args, sync) -> float:
     return time.perf_counter() - t0
 
 
-def bench_train(peak):
+def _init_on_cpu(model, img):
+    """Initialize variables on the LOCAL CPU at batch 1 and ship to device.
+
+    Params/stats are batch-size-independent, and a local b1 init compile is
+    seconds where the remote-tunnel init compile is minutes — the single
+    biggest reason the round-3 driver bench never reached its eval section.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        x = jnp.zeros((1, img, img, 3), jnp.float32)
+        variables = jax.jit(model.init, static_argnames="train")(
+            jax.random.PRNGKey(0), x, train=False)
+    return jax.device_put(variables, jax.devices()[0])
+
+
+def _make_state(model, variables, lr=1e-3):
+    from medt_tpu.training import adam_l2
+    from medt_tpu.training.state import TrainState
+
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=adam_l2(lr),
+    )
+
+
+def bench_train(peak, variables=None):
     from medt_tpu.models import build_model
     from medt_tpu.training import adam_l2, init_state, train_step
 
     # use_fused engages the fused attention kernels wherever they apply
     model = build_model(MODEL, img_size=IMG, dtype=jnp.float32, use_fused=True)
-    state = init_state(model, adam_l2(1e-3), (BATCH, IMG, IMG, 3))
+    if variables is None:
+        variables = _init_on_cpu(model, IMG)
+    state = _make_state(model, variables)
 
     rng = np.random.default_rng(0)
     batch = {
@@ -116,16 +179,20 @@ def bench_train(peak):
     # FLOPs of ONE optimization step, from XLA's cost model — lowered from
     # the UNFUSED model so the denominator is the full reference computation
     # (Pallas custom calls report zero FLOPs to the cost model, which would
-    # understate MFU for the fused program)
-    ref_model = build_model(MODEL, img_size=IMG, dtype=jnp.float32,
-                            use_fused=False)
-    cpu_batch = jax.device_get(batch)
-    with jax.default_device(jax.devices("cpu")[0]):
-        ref_state = init_state(ref_model, adam_l2(1e-3),
-                               (BATCH, IMG, IMG, 3))
-        flops_step = _flops_of(
-            jax.jit(train_step).lower(ref_state, cpu_batch).compile())
-    del ref_state
+    # understate MFU for the fused program). Served from the committed
+    # flops_cache.json; a miss recompiles on the local CPU as before.
+    def _compute_train_flops():
+        ref_model = build_model(MODEL, img_size=IMG, dtype=jnp.float32,
+                                use_fused=False)
+        cpu_batch = jax.device_get(batch)
+        with jax.default_device(jax.devices("cpu")[0]):
+            ref_state = init_state(ref_model, adam_l2(1e-3),
+                                   (BATCH, IMG, IMG, 3))
+            return _flops_of(
+                jax.jit(train_step).lower(ref_state, cpu_batch).compile())
+
+    flops_step = _flops_cached(f"{MODEL}-{IMG}-{BATCH}-train",
+                               _compute_train_flops)
 
     def make_step(unroll):
         def multi_step(state, batch):
@@ -169,14 +236,14 @@ def bench_train(peak):
     }
 
 
-def bench_eval(peak):
+def bench_eval(peak, variables=None):
     from medt_tpu.models import build_model
 
     model = build_model(MODEL, img_size=IMG, dtype=jnp.float32, use_fused=True)
     x = jnp.asarray(
         np.random.default_rng(1).normal(size=(BATCH, IMG, IMG, 3)).astype(np.float32))
-    variables = jax.jit(model.init, static_argnames="train")(
-        jax.random.PRNGKey(0), x, train=False)
+    if variables is None:
+        variables = _init_on_cpu(model, IMG)
 
     # chain each call's input on the previous output (zero-scaled, so the
     # values never change): identical independent dispatches can be served
@@ -187,13 +254,15 @@ def bench_eval(peak):
         return out, x + 0.0 * out[..., :1]
 
     fwd = jax.jit(fwd_chained)
-    # FLOPs denominator from the unfused model, lowered on the local CPU
-    # (see _flops_cpu - saves a minutes-long tunnel compile)
+    # FLOPs denominator from the unfused model, lowered on the local CPU on
+    # a flops_cache.json miss (see _flops_cached)
     ref_model = build_model(MODEL, img_size=IMG, dtype=jnp.float32,
                             use_fused=False)
-    flops_step = _flops_cpu(
-        lambda v, x: ref_model.apply(v, x, train=False),
-        jax.device_get(variables), jax.device_get(x))
+    flops_step = _flops_cached(
+        f"{MODEL}-{IMG}-{BATCH}-eval",
+        lambda: _flops_cpu(
+            lambda v, x: ref_model.apply(v, x, train=False),
+            jax.device_get(variables), jax.device_get(x)))
     out, x = fwd(variables, x)
     jax.block_until_ready(out)
 
@@ -213,6 +282,48 @@ def bench_eval(peak):
         "flops_per_img": round(flops_per_img) if flops_per_img else None,
         "achieved_tflops": round(achieved / 1e12, 2) if achieved else None,
         "mfu": round(achieved / peak, 4) if achieved and peak else None,
+    }
+
+
+M512_MODEL = "medt_512"  # reference mix_512 (model_codes.py:1894-2096)
+M512_BATCH = 4
+M512_CALLS = 5  # ~0.5 s/step at the measured 8.7 imgs/s; 5 calls suffice
+
+
+def bench_512():
+    """MoNuSeg-geometry (512px) training throughput — the flash2
+    (query+key-streamed, span 256) kernel path, driver-visible so a
+    regression there ships loudly (VERDICT r3 weak #7)."""
+    from medt_tpu.models import build_model
+    from medt_tpu.training import adam_l2, init_state, train_step
+
+    model = build_model(M512_MODEL, dtype=jnp.float32, use_fused=True)
+    state = _make_state(model, _init_on_cpu(model, 512))
+    rng = np.random.default_rng(2)
+    batch = {
+        "image": jnp.asarray(
+            rng.normal(size=(M512_BATCH, 512, 512, 3)).astype(np.float32)),
+        "label": jnp.asarray(
+            rng.integers(0, 2, size=(M512_BATCH, 512, 512))),
+    }
+    step = jax.jit(train_step, donate_argnums=0)
+    # TWO synced warmup calls: over the axon tunnel the first post-compile
+    # dispatch pays a one-time ~60s executable upload (measured — a single
+    # warmup left it inside the window, reading 0.32 imgs/s where steady
+    # state is ~11)
+    for _ in range(2):
+        state, metrics = step(state, batch)
+        _ = float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    m = None
+    for _ in range(M512_CALLS):
+        state, m = step(state, batch)
+    _ = float(m["loss"])  # value fetch == real completion wait
+    dt = time.perf_counter() - t0
+    return {
+        "metric": f"train imgs/sec/chip ({M512_MODEL} 512x512 b{M512_BATCH})",
+        "imgs_per_sec": round(M512_CALLS * M512_BATCH / dt, 2),
     }
 
 
@@ -236,6 +347,7 @@ def main():
     t_start = time.perf_counter()
     peak = _peak_flops()
     train = bench_train(peak)
+    t_train = time.perf_counter() - t_start
     # the remote compile service's latency is highly variable; skip the
     # eval section rather than losing the whole JSON line to a timeout —
     # but NEVER silently: a skipped/failed eval is recorded in the JSON
@@ -248,6 +360,18 @@ def main():
             eval_error = f"{type(ex).__name__}: {str(ex)[:300]}"
     else:
         eval_error = "skipped: train section consumed the time budget"
+    t_eval = time.perf_counter() - t_start - t_train
+    # 512px (flash2 span-256) record, budget permitting — same
+    # record-not-raise policy as eval
+    m512 = None
+    m512_error = None
+    if time.perf_counter() - t_start < BENCH_DEADLINE_S - 150:
+        try:
+            m512 = bench_512()
+        except Exception as ex:  # noqa: BLE001
+            m512_error = f"{type(ex).__name__}: {str(ex)[:300]}"
+    else:
+        m512_error = "skipped: train/eval sections consumed the time budget"
     print(json.dumps({
         "metric": f"train imgs/sec/chip ({MODEL} {IMG}x{IMG} b{BATCH})",
         "value": train["imgs_per_sec"],
@@ -262,6 +386,12 @@ def main():
         "eval": {"error": eval_error} if ev is None else {
             "metric": f"eval imgs/sec/chip ({MODEL} {IMG}x{IMG} b{BATCH}, fused kernel)",
             **ev,
+        },
+        "m512": {"error": m512_error} if m512 is None else m512,
+        "section_seconds": {
+            "train": round(t_train),
+            "eval": round(t_eval),
+            "m512": round(time.perf_counter() - t_start - t_train - t_eval),
         },
         "baseline": {
             "imgs_per_sec": REFERENCE_IMGS_PER_SEC,
