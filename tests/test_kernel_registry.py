@@ -111,3 +111,30 @@ def test_preflight_fn_reports_and_disables(monkeypatch):
         variables, x)
     assert any(not ok for ok, _ in report.values())
     assert not kreg.family_enabled(kreg.FAMILY_LANES)
+
+
+@pytest.mark.slow
+def test_medt_512_admits_flash2_at_span_256():
+    """The MoNuSeg-geometry model (medt_512 == reference mix_512,
+    model_codes.py:1894-2096) must route its global-branch span-256
+    attention through the flash2 family — the 1.7x / memory-fit win
+    (BASELINE.md 512px row). A silent admission regression (budget edits,
+    registry disables) would ship the XLA fallback; this pins it via a
+    shape-only trace, no execution."""
+    from medt_tpu.models import build_model
+    from medt_tpu.training import adam_l2, init_state, train_step
+
+    model = build_model("medt_512", use_fused=True)
+    # shape-only: init at batch 1 (params), eval_shape the train step
+    state = jax.eval_shape(
+        lambda: init_state(model, adam_l2(1e-3), (1, 512, 512, 3)))
+    rng_batch = {
+        "image": jax.ShapeDtypeStruct((1, 512, 512, 3), jnp.float32),
+        "label": jax.ShapeDtypeStruct((1, 512, 512), jnp.int32),
+    }
+    with kreg.recording() as rec:
+        jax.eval_shape(train_step, state, rng_batch)
+        geos = set(rec)
+    flash2 = {(g.family, g.span, g.train) for g in geos
+              if g.family == kreg.FAMILY_FLASH2}
+    assert (kreg.FAMILY_FLASH2, 256, True) in flash2, sorted(geos)

@@ -145,6 +145,62 @@ def run_jax(model_name: str, img: int, chan: int, sd0, xs, ys, lr: float,
     return losses, sd_final
 
 
+def run_jax_only(model_name: str, img: int, chan: int, xs, ys, lr: float,
+                 wd: float, log_every: int, dtype: str = "float32",
+                 perturb: float = 0.0, init_params=None, init_stats=None,
+                 seed: int = 0):
+    """One jax training leg without any torch involvement — the engine of
+    the DTYPE study (bf16-vs-f32 vs the float-chaos envelope, all three
+    legs this framework, run on whatever backend JAX provides — the real
+    TPU chip when available, where bf16 behavior is the production one).
+
+    Returns (init_params, init_stats, losses, final_params) so the first
+    leg's init can seed the others (identical-init protocol, mirroring the
+    torch study).
+    """
+    import jax
+    import jax.numpy as jnp
+    from medt_tpu.models import build_model
+    from medt_tpu.training.optimizers import adam_l2
+    from medt_tpu.training.state import TrainState, train_step
+
+    dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype]
+    model = build_model(model_name, img_size=img, dtype=dt, use_fused=True)
+    if init_params is None:
+        x0 = jnp.asarray(xs[0].transpose(0, 2, 3, 1))
+        variables = jax.jit(model.init, static_argnames="train")(
+            jax.random.PRNGKey(seed), x0, train=False)
+        init_params = variables["params"]
+        init_stats = variables["batch_stats"]
+    params = init_params
+    if perturb:
+        # the same relative nudge as the torch chaos probe (run_torch)
+        prng = np.random.default_rng(77)
+
+        def _nudge(p):
+            p = np.asarray(p, np.float32)
+            return jnp.asarray(
+                p + perturb * np.maximum(np.abs(p), 1e-3)
+                * np.sign(prng.normal(size=p.shape)).astype(np.float32))
+        params = jax.tree_util.tree_map(_nudge, params)
+    state = TrainState.create(apply_fn=model.apply, params=params,
+                              batch_stats=init_stats,
+                              tx=adam_l2(lr, weight_decay=wd))
+    step = jax.jit(train_step)
+    losses = []
+    t0 = time.time()
+    for i in range(xs.shape[0]):
+        batch = {"image": jnp.asarray(xs[i].transpose(0, 2, 3, 1)),
+                 "label": jnp.asarray(ys[i])}
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+        if (i + 1) % log_every == 0:
+            print(f"  jax[{dtype}{'+chaos' if perturb else ''}] step "
+                  f"{i + 1}: loss {losses[-1]:.6f} "
+                  f"({(time.time() - t0) / (i + 1):.2f}s/step)")
+    return init_params, init_stats, losses, state.params
+
+
 _GATE_LEAF = (".f_qr", ".f_kr", ".f_sve", ".f_sv")
 
 
@@ -197,6 +253,63 @@ def compare_state_dicts(sd_a, sd_b):
     }
 
 
+def _compare_pytrees(tree_a, tree_b):
+    """max-abs / max-rel param drift between two pytrees of equal structure."""
+    import jax
+    leaves_a = jax.tree_util.tree_leaves(tree_a)
+    leaves_b = jax.tree_util.tree_leaves(tree_b)
+    max_abs = max_rel = 0.0
+    for a, b in zip(leaves_a, leaves_b):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        if not a.size:
+            continue
+        d = float(np.max(np.abs(a - b)))
+        max_abs = max(max_abs, d)
+        max_rel = max(max_rel, d / (float(np.mean(np.abs(a))) + 1e-12))
+    return {"max_abs": max_abs, "max_rel": max_rel}
+
+
+def run_dtype_study(args, loss_stats):
+    """bf16-vs-f32 trajectory study (BASELINE.md round-3 open question):
+    three legs of THIS framework from one identical init — f32, bf16, and
+    f32 with a 1e-6-relative perturbed init (the chaos envelope). If the
+    bf16 divergence sits inside the chaos envelope, bf16 changes nothing a
+    float-noise-sized nudge would not."""
+    xs, ys = make_batches(args.steps, args.batch, args.img, args.chan, 2)
+    print(f"[1/4] jax f32: {args.model} img{args.img} b{args.batch} x "
+          f"{args.steps} steps")
+    p0, s0, loss_f32, pf_f32 = run_jax_only(
+        args.model, args.img, args.chan, xs, ys, args.lr, args.wd,
+        args.log_every, dtype="float32")
+    print("[2/4] jax bf16: identical init + batches")
+    _, _, loss_bf16, pf_bf16 = run_jax_only(
+        args.model, args.img, args.chan, xs, ys, args.lr, args.wd,
+        args.log_every, dtype="bfloat16", init_params=p0, init_stats=s0)
+    print(f"[3/4] jax f32 chaos probe: init perturbed by {args.chaos:g} rel")
+    _, _, loss_chaos, pf_chaos = run_jax_only(
+        args.model, args.img, args.chan, xs, ys, args.lr, args.wd,
+        args.log_every, dtype="float32", perturb=args.chaos,
+        init_params=p0, init_stats=s0)
+    print("[4/4] comparing trajectories")
+    lt = np.asarray(loss_f32)
+    report = {
+        "study": "dtype", "model": args.model, "img": args.img,
+        "batch": args.batch, "steps": args.steps, "lr": args.lr,
+        "wd": args.wd,
+        "f32_mean_step_move": (float(np.mean(np.abs(np.diff(lt))))
+                               if len(lt) > 1 else 0.0),
+        "bf16_vs_f32": {"loss": loss_stats(loss_f32, loss_bf16),
+                        "params_final": _compare_pytrees(pf_f32, pf_bf16)},
+        "chaos_envelope": {"loss": loss_stats(loss_f32, loss_chaos),
+                           "params_final": _compare_pytrees(pf_f32, pf_chaos)},
+        "curves": {"f32": [round(v, 6) for v in loss_f32],
+                   "bf16": [round(v, 6) for v in loss_bf16],
+                   "f32_perturbed": [round(v, 6) for v in loss_chaos]},
+    }
+    return report
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="gatedaxialunet",
@@ -211,8 +324,46 @@ def main():
     ap.add_argument("--chaos", type=float, default=1e-6,
                     help="relative init perturbation for the torch-vs-torch "
                          "chaos probe (0 disables the probe)")
+    ap.add_argument("--study", default="torch", choices=("torch", "dtype"),
+                    help="'torch': jax-vs-torch reference equivalence; "
+                         "'dtype': bf16-vs-f32 within this framework vs the "
+                         "chaos envelope (run on the TPU for production "
+                         "bf16 semantics)")
     ap.add_argument("--out", default="trajectory_report.json")
     args = ap.parse_args()
+
+    def _loss_stats_outer(la, lb):
+        la, lb = np.asarray(la), np.asarray(lb)
+        d = np.abs(la - lb)
+        return {
+            "first": [float(la[0]), float(lb[0])],
+            "final": [float(la[-1]), float(lb[-1])],
+            "max_abs_diff": float(d.max()),
+            "max_abs_diff_step": int(d.argmax()),
+            "mean_abs_diff": float(d.mean()),
+            "first10_max_diff": float(d[:10].max()),
+            "corr": float(np.corrcoef(la, lb)[0, 1]),
+        }
+
+    if args.study == "torch":
+        # the equivalence study compares f32 CPU math on both sides; this
+        # sandbox preimports jax with JAX_PLATFORMS=axon and scrubs the env
+        # var, so pin the platform in-process (works until backend init)
+        import jax as _jax
+        try:
+            _jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+    if args.study == "dtype":
+        sys.path.insert(0, REPO)
+        report = run_dtype_study(args, _loss_stats_outer)
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(json.dumps({k: v for k, v in report.items() if k != "curves"},
+                         indent=1))
+        print(f"wrote {args.out}")
+        return
 
     n_phases = 3 + (1 if args.chaos else 0)
     xs, ys = make_batches(args.steps, args.batch, args.img, args.chan, 2)
