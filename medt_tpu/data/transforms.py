@@ -231,7 +231,13 @@ class JointTransform2D:
         image = np.ascontiguousarray(
             image, np.uint8 if keep_uint8 else np.float32)
         if self.long_mask:
-            mask = np.ascontiguousarray(mask, np.int32)
+            # in byte-pipeline mode int labels also ship as uint8 (class
+            # ids are tiny); the device step widens to int32 for free —
+            # the int32 label payload was 4x the uint8 IMAGE payload and
+            # capped the e2e rate on the tunneled link (BASELINE.md e2e row)
+            mask = np.ascontiguousarray(
+                mask, np.uint8 if (self.output_dtype == "uint8"
+                                   and mask.dtype == np.uint8) else np.int32)
         else:
             mask = np.ascontiguousarray(to_float01(mask), np.float32)
         return image, mask

@@ -29,6 +29,10 @@ def log_nll_loss(logits, labels, weight: Optional[jnp.ndarray] = None,
     """
     logits = logits.astype(jnp.float32)
     n_classes = logits.shape[-1]
+    # labels may arrive as uint8 (byte-pipeline ships labels as bytes over
+    # the host->device link); widen on device so the ignore_index compare
+    # below can't wrap in unsigned arithmetic
+    labels = labels.astype(jnp.int32)
     onehot = jax.nn.one_hot(labels, n_classes, dtype=jnp.float32)
     lse = jax.nn.logsumexp(logits, axis=-1)
     ce = lse - jnp.sum(logits * onehot, axis=-1)

@@ -90,13 +90,16 @@ def setup_state(cfg: Config, steps_per_epoch: int) -> TrainState:
 
 
 def _device_batch(batch: dict) -> dict:
-    # uint8 images ship as bytes; the jitted step normalizes on device
-    # (state.py::_normalize) — 4x less host->device traffic than f32
-    img = batch["image"]
+    # uint8 images AND labels ship as bytes; the jitted step normalizes /
+    # widens on device (state.py::_normalize, losses.py) — 4x less
+    # host->device traffic than f32/int32, which is the binding constraint
+    # on a tunneled device link (~70 MB/s measured)
+    img, lbl = batch["image"], batch["label"]
     return {
         "image": jnp.asarray(img) if img.dtype == np.uint8
         else jnp.asarray(img, jnp.float32),
-        "label": jnp.asarray(batch["label"], jnp.int32),
+        "label": jnp.asarray(lbl) if lbl.dtype == np.uint8
+        else jnp.asarray(lbl, jnp.int32),
     }
 
 
@@ -108,9 +111,10 @@ def validate(cfg: Config, state: TrainState, val_loader: DataLoader,
         chk_mkdir(fulldir)
     f1s, ious = [], []
     for batch in val_loader:
-        logits = eval_fn(state, _device_batch(batch))
+        dev_batch = _device_batch(batch)
+        logits = eval_fn(state, dev_batch)
         fg = logits_to_foreground(logits, mode=cfg.pred_mode)
-        gt = jnp.asarray(batch["label"], jnp.int32) > 0
+        gt = dev_batch["label"] > 0
         f1, iou, _pa = binary_seg_scores(fg, gt)
         f1s.append(np.asarray(f1))
         ious.append(np.asarray(iou))
