@@ -31,6 +31,8 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--logdir", default="/tmp/medt_tpu_trace")
     p.add_argument("--use_pallas", default="yes")
+    p.add_argument("--dtype", default="float32",
+                   help="activation compute dtype (float32 | bfloat16)")
     p.add_argument("--no_trace", action="store_true",
                    help="skip the XPlane capture (timings only)")
     args = p.parse_args(argv)
@@ -46,6 +48,7 @@ def main(argv=None):
         "label": jnp.asarray(rng.integers(0, 2, size=(B, S, S))),
     }
     model = build_model(args.modelname, img_size=S,
+                        dtype=jnp.dtype(args.dtype),
                         use_fused=args.use_pallas == "yes")
     state = init_state(model, adam_l2(1e-3), (B, S, S, 3))
 
