@@ -26,6 +26,14 @@ from ..utils import chk_mkdir
 
 
 def main(argv=None):
+    # setup_state installs the kernel mesh; don't leak it to in-process
+    # callers (see parallel.kernel_mesh_scope)
+    from ..parallel import kernel_mesh_scope
+    with kernel_mesh_scope():
+        return _main(argv)
+
+
+def _main(argv=None):
     cfg = parse_config(argv, description="medt_tpu test")
     if not cfg.val_dataset or not cfg.loaddirec:
         raise SystemExit("--val_dataset and --loaddirec are required")

@@ -21,13 +21,14 @@ psum/all-gather/halo collectives over ICI. Multi-host slices connect via
 ``jax.distributed.initialize`` (see ``training/checkpointing`` for the rank-0
 save policy mirroring reference lib/utils.py:79-93).
 """
-from .kernel_sharding import kernel_mesh, set_kernel_mesh
+from .kernel_sharding import kernel_mesh, kernel_mesh_scope, set_kernel_mesh
 from .mesh import auto_mesh_shape, make_mesh, shard_batch, shard_state
 from .partitioning import partition_specs
 
 __all__ = [
     "auto_mesh_shape",
     "kernel_mesh",
+    "kernel_mesh_scope",
     "make_mesh",
     "partition_specs",
     "set_kernel_mesh",

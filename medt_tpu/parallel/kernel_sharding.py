@@ -39,6 +39,7 @@ The reference has no counterpart — its only parallelism is single-process
 """
 from __future__ import annotations
 
+import contextlib
 from typing import Optional, Tuple
 
 import jax
@@ -55,6 +56,23 @@ def set_kernel_mesh(mesh: Optional[Mesh]) -> None:
 
 def kernel_mesh() -> Optional[Mesh]:
     return _mesh
+
+
+@contextlib.contextmanager
+def kernel_mesh_scope():
+    """Snapshot the kernel mesh and restore it on exit.
+
+    Entry points that install a mesh via :func:`set_kernel_mesh`
+    (train/test/predict mains, the graft dryrun) wrap their body in this
+    so in-process callers — tests, notebooks — don't inherit the run's
+    mesh: leaked mesh state silently changes kernel admission (per-device
+    geometry) for everything that follows in the same process.
+    """
+    prior = _mesh
+    try:
+        yield
+    finally:
+        set_kernel_mesh(prior)
 
 
 def kernel_mesh_factors() -> Tuple[Optional[Mesh], int, int]:

@@ -131,6 +131,18 @@ def validate(cfg: Config, state: TrainState, val_loader: DataLoader,
 def run_training(cfg: Config, state: Optional[TrainState] = None,
                  train_loader: Optional[DataLoader] = None,
                  val_loader: Optional[DataLoader] = None) -> TrainState:
+    # setup_state installs the kernel mesh as module state; restore the
+    # caller's value on exit so in-process callers (tests, notebooks
+    # invoking cli.train.main) don't inherit this run's mesh — leaked mesh
+    # state silently changes kernel admission for everything that follows
+    from ..parallel import kernel_mesh_scope
+    with kernel_mesh_scope():
+        return _run_training(cfg, state, train_loader, val_loader)
+
+
+def _run_training(cfg: Config, state: Optional[TrainState],
+                  train_loader: Optional[DataLoader],
+                  val_loader: Optional[DataLoader]) -> TrainState:
     initialize_multihost()  # no-op on single-host jobs
     np.random.seed(cfg.seed)  # reference seeds numpy/torch to 3000
 
