@@ -1,30 +1,68 @@
 """ctypes bindings for the native data-plane (native/medt_io.cpp).
 
-Loads ``libmedt_io.so`` if built (``make -C native``); everything degrades
-gracefully to the cv2/PIL path when the library is absent. No pybind11 —
-plain C ABI through ctypes.
+Loads ``libmedt_io.so``, AUTO-BUILDING it on first use when a C++
+toolchain is present (``make -C native`` — seconds, and cached on disk
+for every later process); everything degrades gracefully to the cv2/PIL
+path when the library can't be built or loaded. No pybind11 — plain C ABI
+through ctypes.
 """
 from __future__ import annotations
 
 import ctypes
 import os
+import subprocess
 from typing import List, Optional
 
 import numpy as np
 
+_NATIVE_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "native"))
 _LIB_PATHS = [
-    os.path.join(os.path.dirname(__file__), "..", "..", "native",
-                 "libmedt_io.so"),
+    os.path.join(_NATIVE_DIR, "libmedt_io.so"),
     "libmedt_io.so",
 ]
 
 _lib = None
+_build_attempted = False
+
+
+def _try_build() -> None:
+    """Build libmedt_io.so in-tree, once per process, never raising.
+
+    A flock on the Makefile serializes concurrent builders (e.g. pytest-xdist
+    or multiple dataloader hosts on one box); losers of the race simply find
+    the finished .so. Environments without make/g++/libpng fall through to
+    the Python decode path exactly as before.
+    """
+    global _build_attempted
+    if _build_attempted:
+        return
+    _build_attempted = True
+    makefile = os.path.join(_NATIVE_DIR, "Makefile")
+    if not os.path.isfile(makefile) or not os.access(_NATIVE_DIR, os.W_OK):
+        return
+    try:
+        import fcntl
+
+        with open(makefile) as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                if not os.path.exists(_LIB_PATHS[0]):
+                    subprocess.run(
+                        ["make", "-C", _NATIVE_DIR],
+                        check=True, capture_output=True, timeout=120)
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
+    except Exception:
+        pass  # toolchain/libpng absent — the cv2/PIL fallback handles it
 
 
 def load_library() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
+    if not os.path.exists(_LIB_PATHS[0]):
+        _try_build()
     for path in _LIB_PATHS:
         try:
             lib = ctypes.CDLL(os.path.abspath(path)

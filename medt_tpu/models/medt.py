@@ -15,11 +15,18 @@ which silently assumes img_size==128). Here the patch grid is folded into the
 batch axis (space-to-batch) so the local U-Net runs **once** on a 16x larger
 batch — pure XLA, no loop, and the patch size is derived from ``img_size``
 (so the zoo's 512px variants, reference lib/models/model_codes.py:1842/2054,
-are the same module). Train-mode BN consequence: batch statistics are computed
-over all patches jointly instead of the reference's 16 sequential per-patch
-batches; eval-mode behavior is identical. This is a deliberate, documented
-divergence — the joint statistics are the better-defined estimator and the
-sequential variant cannot be expressed efficiently on a systolic-array target.
+are the same module). Train-mode BN consequence of the default fast path:
+batch statistics are computed over all patches jointly instead of the
+reference's 16 sequential per-patch batches; eval-mode behavior is identical.
+The joint statistics are the better-defined estimator (they see the whole
+batch) and keep the branch a single large-batch program, so they are the
+default; ``sequential_bn_parity=True`` reproduces the reference's train-mode
+math EXACTLY — per-patch normalization moments and the 16 sequential
+running-stat EMA updates in the reference's row-major patch order — by
+calling the shared local-branch modules once per patch (flax variable writes
+chain through the trace, so the EMA ordering falls out by construction).
+Parity mode is for verification/golden tests; it compiles 16 unrolled copies
+of the local branch and is not the production path.
 
 Architectural quirk faithfully reproduced: the reference builds the local stem
 *after* the global stages mutated ``self.inplanes``, so the local stem is
@@ -76,6 +83,8 @@ class MedTNet(nn.Module):
     gate_init: Tuple[float, float, float, float] = (0.1, 0.1, 0.1, 1.0)
     trainable_gates: bool = False
     use_fused: bool = False          # fused Pallas attention on the eval path
+    sequential_bn_parity: bool = False  # exact reference train-mode BN (see
+    # module docstring): per-patch moments + sequential EMA, 16x trace unroll
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -125,38 +134,72 @@ class MedTNet(nn.Module):
 
         # wide local stem — reproduces the reference's inplanes mutation
         local_inplanes = stage2.out_planes  # int(256*s)*2
-        p = ConvStem(inplanes=local_inplanes, dtype=self.dtype, name="stem_p")(
-            xp, train=train
-        )
 
-        inplanes = local_inplanes
+        # construct every local-branch module ONCE (so the parity path below
+        # can call the same instances per patch — flax shares params and
+        # chains BN running-stat writes across repeated calls of an instance)
+        stem_p = ConvStem(inplanes=local_inplanes, dtype=self.dtype,
+                          name="stem_p")
         span = patch_size // 2
         spans = [span, span, span // 2, span // 4]
         strides = [1, 2, 2, 2]
-        skips = []
+        stages_p = []
+        inplanes = local_inplanes
         for i in range(4):
             stage = AxialStage(
                 inplanes=inplanes, planes=stage_planes[i], blocks=self.layers[i],
                 span=spans[i], stride=strides[i], groups=self.groups,
                 base_width=self.base_width, attention_mode=self.local_mode,
                 gate_init=self.gate_init,
-            trainable_gates=self.trainable_gates,
+                trainable_gates=self.trainable_gates,
                 use_fused=self.use_fused,
                 dtype=self.dtype, name=f"layer{i + 1}_p",
             )
-            p = stage(p, train=train)
+            stages_p.append(stage)
             inplanes = stage.out_planes
-            skips.append(p)
-        p1, p2, p3, p4 = skips
+        dec1_p = conv2d(int(1024 * 2 * s), 3, stride=2, use_bias=True,
+                        in_features=int(1024 * 2 * s), name="decoder1_p",
+                        dtype=self.dtype)
+        dec2_p = conv2d(int(1024 * s), 3, use_bias=True,
+                        in_features=int(1024 * 2 * s), name="decoder2_p",
+                        dtype=self.dtype)
+        dec3_p = conv2d(int(512 * s), 3, use_bias=True,
+                        in_features=int(1024 * s), name="decoder3_p",
+                        dtype=self.dtype)
+        dec4_p = conv2d(int(256 * s), 3, use_bias=True,
+                        in_features=int(512 * s), name="decoder4_p",
+                        dtype=self.dtype)
+        dec5_p = conv2d(int(128 * s), 3, use_bias=True,
+                        in_features=int(256 * s), name="decoder5_p",
+                        dtype=self.dtype)
 
-        d = conv2d(int(1024 * 2 * s), 3, stride=2, use_bias=True,
-                   in_features=int(1024 * 2 * s), name="decoder1_p",
-                   dtype=self.dtype)(p4)
-        d = nn.relu(upsample_bilinear_2x(d)) + p4
-        d = _up_block(d, int(1024 * s), int(1024 * 2 * s), "decoder2_p", self.dtype) + p3
-        d = _up_block(d, int(512 * s), int(1024 * s), "decoder3_p", self.dtype) + p2
-        d = _up_block(d, int(256 * s), int(512 * s), "decoder4_p", self.dtype) + p1
-        d = _up_block(d, int(128 * s), int(256 * s), "decoder5_p", self.dtype)
+        def run_local(q):
+            p = stem_p(q, train=train)
+            skips = []
+            for stage in stages_p:
+                p = stage(p, train=train)
+                skips.append(p)
+            p1, p2, p3, p4 = skips
+            d = dec1_p(p4)
+            d = nn.relu(upsample_bilinear_2x(d)) + p4
+            d = nn.relu(upsample_bilinear_2x(dec2_p(d))) + p3
+            d = nn.relu(upsample_bilinear_2x(dec3_p(d))) + p2
+            d = nn.relu(upsample_bilinear_2x(dec4_p(d))) + p1
+            return nn.relu(upsample_bilinear_2x(dec5_p(d)))
+
+        if self.sequential_bn_parity and train:
+            # exact reference semantics (axialnet.py:661-700): one pass per
+            # patch in row-major order; each pass normalizes with its OWN
+            # batch moments and applies its OWN running-stat EMA update, in
+            # sequence. space_to_batch lays patches out batch-minor
+            # (index = n*P + p), so patch p's minibatch is xp[p::P].
+            P = self.patch_grid * self.patch_grid
+            n = xp.shape[0] // P
+            per_patch = xp.reshape(n, P, *xp.shape[1:])
+            outs = [run_local(per_patch[:, p]) for p in range(P)]
+            d = jnp.stack(outs, axis=1).reshape(n * P, *outs[0].shape[1:])
+        else:
+            d = run_local(xp)
 
         x_loc = batch_to_space(d, self.patch_grid)
 

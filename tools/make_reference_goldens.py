@@ -18,7 +18,8 @@ import sys
 import numpy as np
 
 REF = os.environ.get("MEDT_REFERENCE", "/root/reference")
-OUT = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+_pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+OUT = _pos[0] if _pos else os.path.join(
     os.path.dirname(__file__), "..", "tests", "goldens")
 
 CONFIGS = [
@@ -78,25 +79,26 @@ def main():
             out_eval = model(xt).numpy()
 
         # train-mode forward: batch-stat normalization + running-stat update.
-        # (skipped for MedT: its sequential per-patch BN batches are replaced
-        # by joint space-to-batch statistics here — a documented divergence.)
-        out_train = None
-        if factory in ("axialunet", "gated"):
-            model.train()
-            with torch.no_grad():
-                out_train = model(xt).numpy()
+        # For MedT the golden captures the reference's 16 sequential
+        # per-patch local-branch passes (axialnet.py:661-700), which
+        # MedTNet(sequential_bn_parity=True) reproduces exactly. The eval
+        # forward above does not mutate running stats, so this train
+        # forward starts from the freshly-initialized stats in `sd`.
+        model.train()
+        with torch.no_grad():
+            out_train = model(xt).numpy()
 
         blob = {
             "__input__": x,
             "__out_eval__": out_eval,
+            "__out_train__": out_train,
         }
-        if out_train is not None:
-            blob["__out_train__"] = out_train
-            sd_after = model.state_dict()
-            blob["__stats_after__.bn1.running_mean"] = (
-                sd_after["bn1.running_mean"].numpy())
-            blob["__stats_after__.bn1.running_var"] = (
-                sd_after["bn1.running_var"].numpy())
+        # post-train-forward running statistics of EVERY BN — the direct
+        # evidence for the sequential-EMA parity mode
+        sd_after = model.state_dict()
+        for k, v in sd_after.items():
+            if k.endswith(("running_mean", "running_var")):
+                blob["__stats_after__." + k] = v.numpy()
 
         for k, v in sd.items():
             blob["sd." + k] = v
@@ -107,6 +109,8 @@ def main():
 
     import lib.models.resnet as ref_resnet
 
+    if "--cls" not in sys.argv:
+        return  # ~40 MB each; the parity test generates these on the fly
     for name, img, batch in CLS_CONFIGS:
         torch.manual_seed(3000)
         model = getattr(ref_resnet, name)(num_classes=10)
