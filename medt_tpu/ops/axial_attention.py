@@ -220,12 +220,13 @@ class AxialAttention(nn.Module):
 
         from .pallas_axial import fused_eval_supported
 
-        # spans are admitted by a VMEM feasibility check — the 512px models'
-        # global branch (span 256) runs fused; only huge span*gp fall back
-        fused_ok = (
+        # eval fusion admissibility is decided per-family below: the
+        # whole-tile stripe kernel by fused_eval_supported's VMEM check,
+        # the streaming lanes family (lanes/flash/flash2) by its own
+        # admission — either one makes the eval path fused
+        fused_eval_mode = (
             self.use_fused and not train and not self.is_initializing()
             and self.mode in (MODE_FULL, MODE_GATED, MODE_WOPOS)
-            and fused_eval_supported(span, gp)
         )
         # train-mode fusion additionally covers gated_sig (its sigmoid gates
         # are plain XLA glue); gated_data's per-sample gates cannot fold into
@@ -236,7 +237,8 @@ class AxialAttention(nn.Module):
                               MODE_GATED_SIG)
             and span <= 256  # 129..256 admitted per-shape by flash2 below
         )
-        from .pallas_axial_lanes import flash_supported, lanes_supported
+        from .pallas_axial_lanes import (flash2_supported, flash_supported,
+                                         lanes_supported)
         from ..parallel.kernel_sharding import kernel_mesh_factors
 
         # under an active mesh the kernels run as shard_map islands over
@@ -248,9 +250,16 @@ class AxialAttention(nn.Module):
             mesh_, ds_, tp_ = None, 1, 1
         s_adm, g_adm = stripes_ // ds_, g // tp_
         # eval prefers the lanes kernels wherever they are admitted (small
-        # spans: plain lanes; mid spans: key-streamed flash variant)
+        # spans: plain lanes; mid spans: key-streamed flash variant; long
+        # spans: query+key-streamed flash2 — the span-256 global branch of
+        # the 512px models CANNOT run the whole-tile stripe kernel, whose
+        # (L, L) similarity tiles blow scoped VMEM at L=256 even at stripe
+        # block 1; streaming is the only VMEM-feasible fused eval there)
         lanes_eval = ((span <= 16 and lanes_supported(span, g_adm, gp, s_adm))
-                      or flash_supported(span, g_adm, gp, s_adm))
+                      or flash_supported(span, g_adm, gp, s_adm)
+                      or flash2_supported(span, g_adm, gp, s_adm))
+        fused_ok = fused_eval_mode and (
+            lanes_eval or fused_eval_supported(span, gp))
         if fused_ok and not lanes_eval:
             from .pallas_axial import axial_attention_fused, fused_eval_attention
             from ..parallel.kernel_sharding import shard_eval_core

@@ -40,19 +40,20 @@ from . import kernel_registry as _kreg
 
 
 def fused_eval_supported(span: int, gp: int) -> bool:
-    """Whether one (stripe-block, group) program fits VMEM.
+    """Whether one (stripe-block, group) program fits scoped VMEM.
 
-    Per program: ~4 live (B, L, L) f32 tiles (B adapts down to 1 via the
-    vmem cap in ``axial_attention_fused``) plus this group's q/k/v embedding
-    tables ((2c + gp) * L^2 floats). The 512px models' global branch
-    (span 256, gp <= 4) passes; only huge span*gp combinations fall back.
+    MEASURED on v5e: at span 256 (the 512px models' global branch) Mosaic's
+    scoped stack for this kernel is 33-37M against the 16M limit and barely
+    shrinks with the stripe block (36.95M at B=8, 33.19M at B=2) — the
+    whole-(L, L)-tile design is infeasible there at any block size; those
+    spans must stream instead (flash/flash2 in pallas_axial_lanes, which
+    the eval router prefers wherever admitted). Spans <= 64 — every 128px
+    geometry plus the 512px models' local branches — fit comfortably
+    (~70 bytes per B*L^2 element with the 170k-element block cap in
+    ``axial_attention_fused``).
     """
-    c = gp // 2
-    B = max(1, min(32, (1 << 19) // (span * span)))
-    tiles = 4 * B * span * span * 4
-    tables = (2 * c + gp) * span * span * 4
-    return (_kreg.family_enabled(_kreg.FAMILY_EVAL)
-            and tiles + tables <= (12 << 20))
+    del gp  # feasibility is set by the (L, L) tile size, not group planes
+    return _kreg.family_enabled(_kreg.FAMILY_EVAL) and span <= 64
 
 
 def _attn_kernel(q_ref, k_ref, v_ref,
@@ -149,10 +150,13 @@ def axial_attention_fused(q, k, v, q_emb, k_emb, v_emb,
     S, g, c, L = q.shape
     gp = v.shape[2]
     assert q_emb.ndim == 3, "tables are group-shared (c, L, L)" 
-    # each stripe holds ~4 live (L, L) f32 similarity tiles in VMEM; cap the
-    # block so a program stays well under the ~16MB budget (long spans — the
-    # 512px models — would otherwise blow VMEM)
-    vmem_cap = max(1, (1 << 19) // (L * L))
+    # cap the stripe block so a program's scoped VMEM stays under budget.
+    # Mosaic's measured scoped allocation for this kernel is ~70 bytes per
+    # B*L*L element (~17 live f32 (B, L, L) tiles: logits/exp/softmax plus
+    # relayout copies of the three dots) — the span-256 eval program of the
+    # 512px models OOMed at B=8 (36.95M scoped vs 16M limit) under the old
+    # 4-tile estimate. 170k elements keeps the worst case near ~12M.
+    vmem_cap = max(1, 170_000 // (L * L))
     B = min(stripe_block, vmem_cap, S)
     while S % B:
         B -= 1

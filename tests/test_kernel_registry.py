@@ -138,3 +138,28 @@ def test_medt_512_admits_flash2_at_span_256():
     flash2 = {(g.family, g.span, g.train) for g in geos
               if g.family == kreg.FAMILY_FLASH2}
     assert (kreg.FAMILY_FLASH2, 256, True) in flash2, sorted(geos)
+
+
+@pytest.mark.slow
+def test_medt_512_eval_admits_flash2_not_stripe_at_span_256():
+    """The EVAL path at the MoNuSeg geometry must also stream: the
+    whole-(L, L)-tile stripe-eval kernel blows Mosaic's 16M scoped-VMEM
+    limit at span 256 at ANY stripe block (measured 33-37M on v5e — the
+    round-4 driver's eval512 HTTP-500), so fused_eval_supported rejects
+    spans > 64 and the router sends the 512px global branch through
+    flash2's forward instead. Pins both sides: flash2 recorded at span
+    256 eval, stripe-eval NOT recorded there."""
+    from medt_tpu.models import build_model
+
+    model = build_model("medt_512", use_fused=True)
+    x = jax.ShapeDtypeStruct((1, 512, 512, 3), jnp.float32)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 512, 512, 3)), train=False))
+    with kreg.recording() as rec:
+        jax.eval_shape(lambda v, xx: model.apply(v, xx, train=False),
+                       variables, x)
+        geos = set(rec)
+    fams_at_256 = {g.family for g in geos if g.span == 256}
+    assert kreg.FAMILY_FLASH2 in fams_at_256, sorted(geos)
+    assert kreg.FAMILY_EVAL not in fams_at_256, sorted(geos)
