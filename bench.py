@@ -325,6 +325,9 @@ def bench_512():
 
     model = build_model(M512_MODEL, dtype=jnp.float32, use_fused=True)
     variables = _init_on_cpu(model, 512)
+    # the donated train step below deletes the state's buffers — hand the
+    # eval512 section its own copy of the initial variables
+    variables_out = jax.device_put(jax.device_get(variables))
     state = _make_state(model, variables)
     rng = np.random.default_rng(2)
     batch = {
@@ -351,7 +354,7 @@ def bench_512():
     return {
         "metric": f"train imgs/sec/chip ({M512_MODEL} 512x512 b{M512_BATCH})",
         "imgs_per_sec": round(M512_CALLS * M512_BATCH / dt, 2),
-    }, variables
+    }, variables_out
 
 
 EVAL512_CALLS = 8
