@@ -24,7 +24,7 @@ from typing import Iterator, Optional
 import numpy as np
 
 
-def prefetch_to_device(iterable, convert, size: int = 2):
+def prefetch_to_device(iterable, convert, size: int = 3):
     """Keep ``size`` converted batches in flight ahead of the consumer.
 
     ``convert`` maps a host batch to device arrays (``jnp.asarray`` /
