@@ -342,6 +342,37 @@ class AxialAttention(nn.Module):
             out = avg_pool_2x(out, self.stride)
         return out
 
+    def _bn_apply_split(self, bn_vars, x0, x1, feature_axes, train,
+                        momentum=0.1):
+        """BN over ``stack([x0, x1], -1)`` with stack-minor (…, 2) params,
+        computed WITHOUT the stack: the stack axis is a feature axis, so
+        the stacked BN is exactly two independent BNs (per-half params and
+        stats) whose normalized halves the caller's reference math then
+        sums (reference axialnet.py:178-180). Materializing the (…, 2)
+        minor-axis stack costs XLA a half-empty lane tile plus relayout
+        copies on every use — decomposing it is copy-free and bit-equal.
+        Returns ``BN(x0) + BN(x1)``; reduction counts match the stacked
+        form (the stack axis never reduces)."""
+        scale, bias, mean, var = bn_vars
+        if train:
+            y0, m0, v0 = batch_norm_train(
+                x0, scale[..., 0], bias[..., 0], feature_axes)
+            y1, m1, v1 = batch_norm_train(
+                x1, scale[..., 1], bias[..., 1], feature_axes)
+            if not self.is_initializing():
+                m = jnp.stack([m0, m1], axis=-1)
+                v = jnp.stack([v0, v1], axis=-1)
+                mean.value = (1 - momentum) * mean.value + momentum * m
+                var.value = (1 - momentum) * var.value + momentum * v
+            return y0 + y1
+        y0 = batch_norm_eval(x0, scale[..., 0], bias[..., 0],
+                             mean.value[..., 0], var.value[..., 0],
+                             feature_axes)
+        y1 = batch_norm_eval(x1, scale[..., 1], bias[..., 1],
+                             mean.value[..., 1], var.value[..., 1],
+                             feature_axes)
+        return y0 + y1
+
     def _bn_apply(self, bn_vars, x, feature_axes, train, momentum=0.1):
         scale, bias, mean, var = bn_vars
         if train:
@@ -455,11 +486,15 @@ class AxialAttention(nn.Module):
                    else jnp.float32)
             if qkv_lanes is not None:
                 # already features-major: the kernels' layout is a FREE view
-                qkv_l = qkv_lanes.reshape(g, 2 * gp, L, S).astype(kdt)
+                qkv_l4 = qkv_lanes.reshape(g, 2 * gp, L, S).astype(kdt)
             else:
-                qkv_l = jnp.transpose(qkv, (3, 1, 0, 2)) \
+                qkv_l4 = jnp.transpose(qkv, (3, 1, 0, 2)) \
                     .reshape(g, 2 * gp, L, S).astype(kdt)
-            q, k, v = qkv_l[:, :c], qkv_l[:, c:gp], qkv_l[:, gp:]
+            # the lanes-family cores and the moments kernel consume qkv_l4
+            # WHOLE (fused-qkv contract) — q/k/v slices are never
+            # materialized on this path; q/k exist only for the rare
+            # XLA-moments fallback below
+            q = k = v = None
         else:
             if qkv_lanes is not None:
                 qkv_t = jnp.transpose(qkv_lanes, (2, 0, 1)) \
@@ -506,13 +541,16 @@ class AxialAttention(nn.Module):
                          has_pos=self.mode != MODE_WOPOS,
                          dtype=qkv_dtype, sharded=mesh_ is not None)
 
-        import functools as _ft
         if self.mode == MODE_WOPOS:
             if train:
-                moments = (_ft.partial(qk_moments_lanes_fused, core=mom_core)
-                           if fuse_moments
-                           else qk_moments_lanes if lanes_out else qk_moments)
-                mean_b, var_b, count = moments(q, k)
+                if fuse_moments:
+                    mean_b, var_b, count = qk_moments_lanes_fused(
+                        qkv_l4, core=mom_core)
+                elif lanes_out:
+                    mean_b, var_b, count = qk_moments_lanes(
+                        qkv_l4[:, :c], qkv_l4[:, c:gp])
+                else:
+                    mean_b, var_b, count = qk_moments(q, k)
                 a, b = fold_train_affine(sim_scale, sim_bias, mean_b, var_b)
             else:
                 a, b = fold_train_affine(sim_scale, sim_bias,
@@ -523,7 +561,7 @@ class AxialAttention(nn.Module):
                                  else flash2_lanes_core if use_flash2
                                  else lanes_attn_core)
                 empty = jnp.zeros((0, L, L), jnp.float32)
-                sv_l, _ = core_l(q, k, v, empty, empty, empty, aff)
+                sv_l, _ = core_l(qkv_l4, empty, empty, empty, aff)
             elif use_kernel:
                 zero_c = jnp.zeros((c, L, L), jnp.float32)
                 zero_p = jnp.zeros((gp, L, L), jnp.float32)
@@ -549,12 +587,14 @@ class AxialAttention(nn.Module):
                 k_emb = k_emb * f_kr
                 v_emb = v_emb * f_sve
             if train:
-                moments = (_ft.partial(logit_moments_lanes_fused,
-                                       core=mom_core)
-                           if fuse_moments
-                           else logit_moments_lanes if lanes_out
-                           else logit_moments)
-                mean_b, var_b, count = moments(q, k, q_emb, k_emb)
+                if fuse_moments:
+                    mean_b, var_b, count = logit_moments_lanes_fused(
+                        qkv_l4, q_emb, k_emb, core=mom_core)
+                elif lanes_out:
+                    mean_b, var_b, count = logit_moments_lanes(
+                        qkv_l4[:, :c], qkv_l4[:, c:gp], q_emb, k_emb)
+                else:
+                    mean_b, var_b, count = logit_moments(q, k, q_emb, k_emb)
                 a, b = fold_train_affine(sim_scale, sim_bias, mean_b, var_b)
             else:
                 a, b = fold_train_affine(sim_scale, sim_bias,
@@ -565,7 +605,7 @@ class AxialAttention(nn.Module):
                                  else flash2_lanes_core if use_flash2
                                  else lanes_attn_core)
                 sv_l, sve_l = core_l(
-                    q, k, v, q_emb, jnp.swapaxes(k_emb, 1, 2), v_emb, aff)
+                    qkv_l4, q_emb, jnp.swapaxes(k_emb, 1, 2), v_emb, aff)
             else:
                 core = (_island(fused_attn_core, stripe=True) if use_kernel
                         else attn_core_xla)
@@ -589,10 +629,8 @@ class AxialAttention(nn.Module):
             else:
                 if gates is not None:
                     sv_l = sv_l * f_sv
-                stacked_out = jnp.stack([sv_l, sve_l], axis=-1)
-                stacked_out = self._bn_apply(out_bn, stacked_out, (0, 1, 4),
-                                             train=train)
-                y = jnp.sum(stacked_out, axis=-1)
+                y = self._bn_apply_split(out_bn, sv_l, sve_l, (0, 1),
+                                         train=train)
             if self.lanes_io:  # (C_out, L, S): another FREE view
                 return y.reshape(self.out_planes, L, n * m).astype(dtype)
             out = jnp.transpose(y.reshape(g, gp, L, n, m), (3, 2, 4, 0, 1))
@@ -609,10 +647,7 @@ class AxialAttention(nn.Module):
             sve = unstripe(sve)  # f_sve already folded into v_emb
             if gates is not None:
                 sv = sv * f_sv
-            stacked_out = jnp.stack([sv, sve], axis=-1)
-            stacked_out = self._bn_apply(out_bn, stacked_out, (3, 4, 5),
-                                         train=train)
-            out = jnp.sum(stacked_out, axis=-1)
+            out = self._bn_apply_split(out_bn, sv, sve, (3, 4), train=train)
         out = out.reshape(n, L, m, self.out_planes)
         if self.lanes_io:  # stripe-kernel fallback: convert back to lanes
             return jnp.transpose(out, (3, 1, 0, 2)) \

@@ -123,9 +123,7 @@ def _lanes_args(geo: Geometry):
     c = geo.gp // 2
     L, S, gp, g = geo.span, geo.S, geo.gp, geo.g
     dt = jnp.dtype(geo.dtype)
-    q = jnp.zeros((g, c, L, S), dt)
-    k = jnp.zeros((g, c, L, S), dt)
-    v = jnp.zeros((g, gp, L, S), dt)
+    qkv = jnp.zeros((g, 2 * gp, L, S), dt)  # fused rows q|k|v
     if geo.has_pos:
         qemb = jnp.zeros((c, L, L), _F32)
         kemb_t = jnp.zeros((c, L, L), _F32)
@@ -134,7 +132,7 @@ def _lanes_args(geo: Geometry):
         qemb = kemb_t = jnp.zeros((0, L, L), _F32)
         vemb = jnp.zeros((0, L, L), _F32)
     aff = jnp.zeros((g, 8), _F32)
-    return q, k, v, qemb, kemb_t, vemb, aff
+    return qkv, qemb, kemb_t, vemb, aff
 
 
 def _stripe_args(geo: Geometry):
@@ -166,7 +164,7 @@ def _probe_lanes_like(core: Callable, geo: Geometry) -> None:
 
     _compile_only(fwd, *args)
     if geo.train:
-        _compile_only(jax.grad(fwd, argnums=(0, 1, 2)), *args)
+        _compile_only(jax.grad(fwd, argnums=0), *args)
 
 
 def _probe_stripe(geo: Geometry) -> None:
@@ -209,9 +207,8 @@ def _probe_eval(geo: Geometry) -> None:
 def _probe_moments(geo: Geometry) -> None:
     from .pallas_moments import moment_sums_core
     c = max(geo.gp // 2, 1)
-    L, S, g = geo.span, geo.S, geo.g
-    q = jnp.zeros((g, c, L, S), jnp.dtype(geo.dtype))
-    k = jnp.zeros((g, c, L, S), jnp.dtype(geo.dtype))
+    L, S, g, gp = geo.span, geo.S, geo.g, geo.gp
+    qkv = jnp.zeros((g, 2 * gp, L, S), jnp.dtype(geo.dtype))
     if geo.has_pos:
         r = jnp.zeros((c, L), _F32)
         e = jnp.zeros((c, c, L), _F32)
@@ -219,12 +216,12 @@ def _probe_moments(geo: Geometry) -> None:
         r = jnp.zeros((0, L), _F32)
         e = jnp.zeros((0, 0, L), _F32)
 
-    def fwd(q, k):
-        return jnp.sum(moment_sums_core(q, k, r, e, r, e))
+    def fwd(qkv):
+        return jnp.sum(moment_sums_core(qkv, r, e, r, e))
 
-    _compile_only(fwd, q, k)
+    _compile_only(fwd, qkv)
     if geo.train:
-        _compile_only(jax.grad(fwd, argnums=(0, 1)), q, k)
+        _compile_only(jax.grad(fwd, argnums=0), qkv)
 
 
 def probe(geo: Geometry) -> Tuple[bool, str]:

@@ -90,7 +90,20 @@ def _sve_lanes(sim, vemb):
         [jnp.sum(sim * vemb[p][:, :, None], axis=1) for p in range(gp)])
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref, aff_ref,
+def _split_qkv(qkv_ref):
+    """Load a fused (1, 2gp, L, Sb) qkv block and split the channel rows
+    ([0:c]=q, [c:gp]=k, [gp:2gp]=v, c = gp//2) — static leading-axis
+    slices of a loaded VMEM array, free under Mosaic. The fused operand is
+    what kills the XLA boundary copies: the caller passes the projection's
+    own (g, 2gp, L, S) tensor instead of three materialized slices, and
+    the backward writes one dqkv instead of concat(dq, dk, dv)."""
+    qkv = qkv_ref[0].astype(_F32)
+    gp = qkv.shape[0] // 2
+    c = gp // 2
+    return qkv[:c], qkv[c:gp], qkv[gp:]
+
+
+def _fwd_kernel(qkv_ref, qemb_ref, kembt_ref, vemb_ref, aff_ref,
                 sv_ref, sve_ref, *, has_pos: bool):
     # one (group, stripe-block) per program: grid = (g, S // Sb). Per-program
     # VMEM is ~g-times smaller than an all-groups body, which is what admits
@@ -99,9 +112,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref, aff_ref,
     # sublane tiling rule); each program reads its own row via pl.ds (a
     # plain [i] with a traced index is a gather, which has no Mosaic rule).
     aff = aff_ref[pl.ds(pl.program_id(0), 1), :][0]
-    # q/k/v may arrive bf16 (halved HBM loads); upcast ONCE in VMEM — exact,
+    # qkv may arrive bf16 (halved HBM loads); upcast ONCE in VMEM — exact,
     # so the bf16-input path matches upcasting outside the kernel bit-for-bit
-    q, k, v = (r[0].astype(_F32) for r in (q_ref, k_ref, v_ref))
+    q, k, v = _split_qkv(qkv_ref)
     logits = _qk_lanes(q, k) * aff[0] + aff[1]
     if has_pos:
         qr, kr = _pos_logits(q, k, qemb_ref[...], kembt_ref[...])
@@ -112,21 +125,23 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref, aff_ref,
         sve_ref[0] = _sve_lanes(sim, vemb_ref[...])
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref, aff_ref,
+def _bwd_kernel(qkv_ref, qemb_ref, kembt_ref, vemb_ref, aff_ref,
                 dsv_ref, dsve_ref,
-                dq_ref, dk_ref, dv_ref,
+                dqkv_ref,
                 dqemb_ref, dkembt_ref, dvemb_ref, daff_ref,
                 *, has_pos: bool):
     """One (group, stripe-block) per program, grid = (g, S // Sb).
 
-    The table-gradient outputs use constant index maps, so their blocks stay
-    VMEM-resident across the whole grid and accumulate in place; the daff
-    block is constant along the inner (stripe) grid axis and accumulates
-    per group."""
+    dq/dk/dv write row ranges of ONE fused dqkv block (mirroring the fused
+    input), so the XLA side sees a single (g, 2gp, L, S) cotangent with no
+    concat. The table-gradient outputs use constant index maps, so their
+    blocks stay VMEM-resident across the whole grid and accumulate in
+    place; the daff block is constant along the inner (stripe) grid axis
+    and accumulates per group."""
     gi = pl.program_id(0)
     si = pl.program_id(1)
     aff = aff_ref[pl.ds(gi, 1), :][0]
-    q, k, v = (r[0].astype(_F32) for r in (q_ref, k_ref, v_ref))
+    q, k, v = _split_qkv(qkv_ref)
     dsv = dsv_ref[0]
     c, gp = q.shape[0], v.shape[0]
 
@@ -139,9 +154,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref, aff_ref,
     sim = _softmax_j(logits)
 
     # dv[p, j, s] = sum_i dsv[p, i, s] sim[i, j, s]
-    dv_ref[0] = jnp.stack(
+    dqkv_ref[0, gp:] = jnp.stack(
         [jnp.sum(dsv[p][:, None, :] * sim, axis=0)
-         for p in range(gp)]).astype(dv_ref.dtype)
+         for p in range(gp)]).astype(dqkv_ref.dtype)
 
     # dsim[i,j,s] = sum_p dsv[p,i,s] v[p,j,s] (+ sum_p dsve[p,i,s] vemb[p,i,j])
     dsim = dsv[0][:, None, :] * v[0][None, :, :]
@@ -177,14 +192,14 @@ def _bwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref, aff_ref,
     if has_pos:
         d_qr = dlog * aff[2]
         d_kr = dlog * aff[4]
-        dq_ref[0] = jnp.stack(
+        dqkv_ref[0, :c] = jnp.stack(
             [jnp.sum(d_qk * k[ci][None, :, :], axis=1)
              + jnp.sum(d_qr * qemb[ci][:, :, None], axis=1)
-             for ci in range(c)]).astype(dq_ref.dtype)
-        dk_ref[0] = jnp.stack(
+             for ci in range(c)]).astype(dqkv_ref.dtype)
+        dqkv_ref[0, c:gp] = jnp.stack(
             [jnp.sum(d_qk * q[ci][:, None, :], axis=0)
              + jnp.sum(d_kr * kemb_t[ci][:, :, None], axis=0)
-             for ci in range(c)]).astype(dk_ref.dtype)
+             for ci in range(c)]).astype(dqkv_ref.dtype)
         # table grads (tables shared across groups): accumulated over the
         # ENTIRE grid in resident constant-index blocks
         dqe = jnp.stack([jnp.sum(d_qr * q[ci][:, None, :], axis=2)
@@ -207,12 +222,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref, aff_ref,
             dkembt_ref[...] = dkembt_ref[...] + dke
             dvemb_ref[...] = dvemb_ref[...] + dve
     else:
-        dq_ref[0] = jnp.stack(
+        dqkv_ref[0, :c] = jnp.stack(
             [jnp.sum(d_qk * k[ci][None, :, :], axis=1)
-             for ci in range(c)]).astype(dq_ref.dtype)
-        dk_ref[0] = jnp.stack(
+             for ci in range(c)]).astype(dqkv_ref.dtype)
+        dqkv_ref[0, c:gp] = jnp.stack(
             [jnp.sum(d_qk * q[ci][:, None, :], axis=0)
-             for ci in range(c)]).astype(dk_ref.dtype)
+             for ci in range(c)]).astype(dqkv_ref.dtype)
 
 
 _VMEM_BUDGET = 9 << 20  # of the 16MB scoped-vmem limit; the estimates below
@@ -270,30 +285,34 @@ def _interpret_default(interpret: Optional[bool]) -> bool:
 
 
 @jax.custom_vjp
-def lanes_attn_core(q, k, v, qemb, kemb_t, vemb, sim_affine):
+def lanes_attn_core(qkv, qemb, kemb_t, vemb, sim_affine):
     """Fused small-span attention core in stripe-lane layout.
 
     Args:
-      q, k: (g, c, L, S); v: (g, gp, L, S).
+      qkv: (g, 2*gp, L, S) — channel rows [0:c]=q, [c:gp]=k, [gp:2gp]=v,
+        c = gp//2 (the qkv projection's own layout: ONE tensor in, so the
+        XLA boundary never materializes q/k/v slices, and the backward
+        returns ONE dqkv with no concat).
       qemb: (c, L, L); kemb_t: (c, L, L) pre-swapped so kr uses [c, i, j];
         vemb: (gp, L, L). Pass zero-shaped (0, L, L) tables for wopos.
       sim_affine: (g, 8), pack_sim_affine layout.
     Returns:
       (sv, sve), each (g, gp, L, S); sve is zeros for wopos.
     """
-    return _fwd(q, k, v, qemb, kemb_t, vemb, sim_affine)
+    return _fwd(qkv, qemb, kemb_t, vemb, sim_affine)
 
 
-def _fwd(q, k, v, qemb, kemb_t, vemb, sim_affine, interpret=None):
+def _fwd(qkv, qemb, kemb_t, vemb, sim_affine, interpret=None):
     interpret = _interpret_default(interpret)
-    g, c, L, S = q.shape
-    gp = v.shape[1]
+    g, r2, L, S = qkv.shape
+    gp = r2 // 2
+    c = gp // 2
     has_pos = qemb.shape[0] > 0
     Sb = _pick_sblock(S, g, c, gp, L)
     assert Sb >= 1, (S, g, c, gp, L)
     grid = (g, S // Sb)
-    qk_spec = pl.BlockSpec((1, c, L, Sb), lambda gi, si: (gi, 0, 0, si),
-                           memory_space=pltpu.VMEM)
+    qkv_spec = pl.BlockSpec((1, 2 * gp, L, Sb), lambda gi, si: (gi, 0, 0, si),
+                            memory_space=pltpu.VMEM)
     v_spec = pl.BlockSpec((1, gp, L, Sb), lambda gi, si: (gi, 0, 0, si),
                           memory_space=pltpu.VMEM)
     cemb_spec = pl.BlockSpec((max(c, 1), L, L), lambda gi, si: (0, 0, 0),
@@ -314,35 +333,36 @@ def _fwd(q, k, v, qemb, kemb_t, vemb, sim_affine, interpret=None):
     sv, sve = pl.pallas_call(
         functools.partial(_fwd_kernel, has_pos=has_pos),
         grid=grid,
-        in_specs=[qk_spec, qk_spec, v_spec, cemb_spec, cemb_spec, pemb_spec,
+        in_specs=[qkv_spec, cemb_spec, cemb_spec, pemb_spec,
                   aff_spec],
         out_specs=(v_spec, v_spec),
         out_shape=(out_shape, out_shape),
         interpret=interpret,
-    )(q, k, v, qemb, kemb_t, vemb, sim_affine)
+    )(qkv, qemb, kemb_t, vemb, sim_affine)
     if not has_pos:
         sve = jnp.zeros_like(sv)
     return sv, sve
 
 
-def _fwd_rule(q, k, v, qemb, kemb_t, vemb, sim_affine):
-    out = _fwd(q, k, v, qemb, kemb_t, vemb, sim_affine)
-    return out, (q, k, v, qemb, kemb_t, vemb, sim_affine)
+def _fwd_rule(qkv, qemb, kemb_t, vemb, sim_affine):
+    out = _fwd(qkv, qemb, kemb_t, vemb, sim_affine)
+    return out, (qkv, qemb, kemb_t, vemb, sim_affine)
 
 
 def _bwd_rule(residuals, grads, interpret=None):
-    q, k, v, qemb, kemb_t, vemb, sim_affine = residuals
+    qkv, qemb, kemb_t, vemb, sim_affine = residuals
     dsv, dsve = grads
     interpret = _interpret_default(interpret)
-    g, c, L, S = q.shape
-    gp = v.shape[1]
+    g, r2, L, S = qkv.shape
+    gp = r2 // 2
+    c = gp // 2
     has_pos = qemb.shape[0] > 0
     Sb = _pick_sblock(S, g, c, gp, L, bwd=True)
     assert Sb >= 1, (S, g, c, gp, L)
     grid = (g, S // Sb)
 
-    qk_spec = pl.BlockSpec((1, c, L, Sb), lambda gi, si: (gi, 0, 0, si),
-                           memory_space=pltpu.VMEM)
+    qkv_spec = pl.BlockSpec((1, 2 * gp, L, Sb), lambda gi, si: (gi, 0, 0, si),
+                            memory_space=pltpu.VMEM)
     v_spec = pl.BlockSpec((1, gp, L, Sb), lambda gi, si: (gi, 0, 0, si),
                           memory_space=pltpu.VMEM)
     ce = max(c, 1) if has_pos else 1
@@ -358,28 +378,26 @@ def _bwd_rule(residuals, grads, interpret=None):
     aff_spec = pl.BlockSpec((g, 8), lambda gi, si: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    dq, dk, dv, dqe, dke_t, dve, daff = pl.pallas_call(
+    dqkv, dqe, dke_t, dve, daff = pl.pallas_call(
         functools.partial(_bwd_kernel, has_pos=has_pos),
         grid=grid,
-        in_specs=[qk_spec, qk_spec, v_spec, cemb_spec, cemb_spec, pemb_spec,
+        in_specs=[qkv_spec, cemb_spec, cemb_spec, pemb_spec,
                   aff_spec, v_spec, v_spec],
-        out_specs=(qk_spec, qk_spec, v_spec, cemb_spec, cemb_spec, pemb_spec,
+        out_specs=(qkv_spec, cemb_spec, cemb_spec, pemb_spec,
                    aff_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((g, c, L, S), q.dtype),
-            jax.ShapeDtypeStruct((g, c, L, S), k.dtype),
-            jax.ShapeDtypeStruct((g, gp, L, S), v.dtype),
+            jax.ShapeDtypeStruct((g, 2 * gp, L, S), qkv.dtype),
             jax.ShapeDtypeStruct((ce, L, L), _F32),
             jax.ShapeDtypeStruct((ce, L, L), _F32),
             jax.ShapeDtypeStruct((pe, L, L), _F32),
             jax.ShapeDtypeStruct((g, 8), _F32),
         ),
         interpret=interpret,
-    )(q, k, v, qemb, kemb_t, vemb, sim_affine, dsv, dsve)
+    )(qkv, qemb, kemb_t, vemb, sim_affine, dsv, dsve)
     if not has_pos:
         zc = jnp.zeros((0, L, L), _F32)
-        return dq, dk, dv, zc, zc, jnp.zeros((0, L, L), _F32), daff
-    return dq, dk, dv, dqe, dke_t, dve, daff
+        return dqkv, zc, zc, jnp.zeros((0, L, L), _F32), daff
+    return dqkv, dqe, dke_t, dve, daff
 
 
 lanes_attn_core.defvjp(_fwd_rule, _bwd_rule)
@@ -425,22 +443,19 @@ _JB_FWD = 16  # key-axis blocks: (L, Jb, Sb) f32 tiles; the backward holds
 # adaptively-chosen key blocks (8, then 4 for the widest geometries)
 
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref,
+def _flash_fwd_kernel(qkv_ref, qemb_ref, kembt_ref, vemb_ref,
                       aff_ref, sv_ref, sve_ref, m_ref, l_ref,
                       *, has_pos: bool, L: int, jb_size: int = _JB_FWD):
     """Online-softmax forward over key blocks.
 
-    Query rows come from the q block's own extent, so the same body serves
-    the whole-span wrapper (`_flash_fwd`: q rows == L) and the
-    query-streamed wrapper for large spans (`_flash2_fwd`: q rows == Ib,
-    grid also blocks the query axis). ``L`` is the KEY length; the
-    per-block table slices are (·, q-rows, L)."""
+    Takes the fused (1, 2gp, L, Sb) qkv block (see ``_split_qkv``). ``L``
+    is the KEY length; the per-block table slices are (·, q-rows, L)."""
     _JB = jb_size
     aff = aff_ref[pl.ds(pl.program_id(0), 1), :][0]
     # read blocks fully into arrays first: partial slices with None on a
     # deferred ref transform fail the Mosaic kernel trace. Upcast once in
     # VMEM: bf16 inputs (halved HBM loads) match the f32 path exactly.
-    q, k, v = (r[...][0].astype(_F32) for r in (q_ref, k_ref, v_ref))
+    q, k, v = _split_qkv(qkv_ref)
     c, gp, Sb = q.shape[0], v.shape[0], q.shape[-1]
     Lq = q.shape[1]
     neg = jnp.full((Lq, 1, Sb), -1e30, _F32)
@@ -485,17 +500,17 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref,
     l_ref[0] = l[:, 0, :]
 
 
-def _flash_bwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref,
+def _flash_bwd_kernel(qkv_ref, qemb_ref, kembt_ref, vemb_ref,
                       aff_ref, m_ref, l_ref, sv_ref, sve_ref,
                       dsv_ref, dsve_ref,
-                      dq_ref, dk_ref, dv_ref,
+                      dqkv_ref,
                       dqemb_ref, dkembt_ref, dvemb_ref, daff_ref,
                       *, has_pos: bool, L: int, jb_size: int):
     _JB = jb_size
     gi = pl.program_id(0)
     si = pl.program_id(1)
     aff = aff_ref[pl.ds(gi, 1), :][0]
-    q, k, v = (r[...][0].astype(_F32) for r in (q_ref, k_ref, v_ref))
+    q, k, v = _split_qkv(qkv_ref)
     c, gp, Sb = q.shape[0], v.shape[0], q.shape[-1]
     m = m_ref[...][0][:, None, :]
     inv_l = (1.0 / l_ref[...][0])[:, None, :]
@@ -550,19 +565,19 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref,
             d_kr = dlog * aff[4]
 
         # dv[p, j, s] = sum_i dsv[p,i,s] sim[i,j,s]  (write this j-slice)
-        dv_ref[0, :, j0:j0 + _JB, :] = jnp.stack(
+        dqkv_ref[0, gp:, j0:j0 + _JB, :] = jnp.stack(
             [jnp.sum(dsv[p][:, None, :] * sim, axis=0)
-             for p in range(gp)]).astype(dv_ref.dtype)
+             for p in range(gp)]).astype(dqkv_ref.dtype)
         # dk[c, j, s] = sum_i d_qk q[c,i,s] (+ sum_i d_kr kemb_t[c,i,j])
         if has_pos:
-            dk_ref[0, :, j0:j0 + _JB, :] = jnp.stack(
+            dqkv_ref[0, c:gp, j0:j0 + _JB, :] = jnp.stack(
                 [jnp.sum(d_qk * q[ci][:, None, :], axis=0)
                  + jnp.sum(d_kr * kemb_t[ci][:, j0:j0 + _JB][:, :, None], axis=0)
-                 for ci in range(c)]).astype(dk_ref.dtype)
+                 for ci in range(c)]).astype(dqkv_ref.dtype)
         else:
-            dk_ref[0, :, j0:j0 + _JB, :] = jnp.stack(
+            dqkv_ref[0, c:gp, j0:j0 + _JB, :] = jnp.stack(
                 [jnp.sum(d_qk * q[ci][:, None, :], axis=0)
-                 for ci in range(c)]).astype(dk_ref.dtype)
+                 for ci in range(c)]).astype(dqkv_ref.dtype)
         # dq accumulation over j-blocks
         for ci in range(c):
             t = jnp.sum(d_qk * k[ci][j0:j0 + _JB, :][None], axis=1)
@@ -595,7 +610,7 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, qemb_ref, kembt_ref, vemb_ref,
                 dvemb_ref[:, :, j0:j0 + _JB] = (
                     dvemb_ref[:, :, j0:j0 + _JB] + dve)
 
-    dq_ref[0] = jnp.stack(dq_acc).astype(dq_ref.dtype)
+    dqkv_ref[0, :c] = jnp.stack(dq_acc).astype(dqkv_ref.dtype)
 
     if has_pos:
         daff = jnp.stack([d_qk_sum, db, d_qr_sum, db, d_kr_sum, db,
@@ -639,23 +654,24 @@ def _flash_pick_bwd(S: int, c: int, gp: int, L: int):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
-def flash_lanes_core(q, k, v, qemb, kemb_t, vemb, sim_affine):
+def flash_lanes_core(qkv, qemb, kemb_t, vemb, sim_affine):
     """Streamed-key lanes attention for spans 32..64; same contract as
-    ``lanes_attn_core``."""
-    sv, sve, _, _ = _flash_fwd(q, k, v, qemb, kemb_t, vemb, sim_affine)
+    ``lanes_attn_core`` (fused qkv in, fused dqkv out)."""
+    sv, sve, _, _ = _flash_fwd(qkv, qemb, kemb_t, vemb, sim_affine)
     return sv, sve
 
 
-def _flash_fwd(q, k, v, qemb, kemb_t, vemb, sim_affine, interpret=None):
+def _flash_fwd(qkv, qemb, kemb_t, vemb, sim_affine, interpret=None):
     interpret = _interpret_default(interpret)
-    g, c, L, S = q.shape
-    gp = v.shape[1]
+    g, r2, L, S = qkv.shape
+    gp = r2 // 2
+    c = gp // 2
     has_pos = qemb.shape[0] > 0
     Sb = _flash_pick_sblock(S, c, gp, L, jb=_JB_FWD, bwd=False)
     assert Sb >= 1, (S, g, c, gp, L)
     grid = (g, S // Sb)
-    qk_spec = pl.BlockSpec((1, c, L, Sb), lambda gi, si: (gi, 0, 0, si),
-                           memory_space=pltpu.VMEM)
+    qkv_spec = pl.BlockSpec((1, 2 * gp, L, Sb), lambda gi, si: (gi, 0, 0, si),
+                            memory_space=pltpu.VMEM)
     v_spec = pl.BlockSpec((1, gp, L, Sb), lambda gi, si: (gi, 0, 0, si),
                           memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, L, Sb), lambda gi, si: (gi, 0, si),
@@ -675,7 +691,7 @@ def _flash_fwd(q, k, v, qemb, kemb_t, vemb, sim_affine, interpret=None):
     sv, sve, m, l = pl.pallas_call(
         functools.partial(_flash_fwd_kernel, has_pos=has_pos, L=L),
         grid=grid,
-        in_specs=[qk_spec, qk_spec, v_spec, cemb_spec, cemb_spec, pemb_spec,
+        in_specs=[qkv_spec, cemb_spec, cemb_spec, pemb_spec,
                   aff_spec],
         out_specs=(v_spec, v_spec, row_spec, row_spec),
         out_shape=(
@@ -685,29 +701,30 @@ def _flash_fwd(q, k, v, qemb, kemb_t, vemb, sim_affine, interpret=None):
             jax.ShapeDtypeStruct((g, L, S), _F32),
         ),
         interpret=interpret,
-    )(q, k, v, qemb, kemb_t, vemb, sim_affine)
+    )(qkv, qemb, kemb_t, vemb, sim_affine)
     if not has_pos:
         sve = jnp.zeros_like(sv)
     return sv, sve, m, l
 
 
-def _flash_fwd_rule(q, k, v, qemb, kemb_t, vemb, sim_affine):
-    sv, sve, m, l = _flash_fwd(q, k, v, qemb, kemb_t, vemb, sim_affine)
-    return (sv, sve), (q, k, v, qemb, kemb_t, vemb, sim_affine, m, l, sv, sve)
+def _flash_fwd_rule(qkv, qemb, kemb_t, vemb, sim_affine):
+    sv, sve, m, l = _flash_fwd(qkv, qemb, kemb_t, vemb, sim_affine)
+    return (sv, sve), (qkv, qemb, kemb_t, vemb, sim_affine, m, l, sv, sve)
 
 
 def _flash_bwd_rule(residuals, grads, interpret=None):
-    q, k, v, qemb, kemb_t, vemb, sim_affine, m, l, sv, sve = residuals
+    qkv, qemb, kemb_t, vemb, sim_affine, m, l, sv, sve = residuals
     dsv, dsve = grads
     interpret = _interpret_default(interpret)
-    g, c, L, S = q.shape
-    gp = v.shape[1]
+    g, r2, L, S = qkv.shape
+    gp = r2 // 2
+    c = gp // 2
     has_pos = qemb.shape[0] > 0
     Sb, jb_size = _flash_pick_bwd(S, c, gp, L)
     assert Sb >= 1, (S, g, c, gp, L)
     grid = (g, S // Sb)
-    qk_spec = pl.BlockSpec((1, c, L, Sb), lambda gi, si: (gi, 0, 0, si),
-                           memory_space=pltpu.VMEM)
+    qkv_spec = pl.BlockSpec((1, 2 * gp, L, Sb), lambda gi, si: (gi, 0, 0, si),
+                            memory_space=pltpu.VMEM)
     v_spec = pl.BlockSpec((1, gp, L, Sb), lambda gi, si: (gi, 0, 0, si),
                           memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, L, Sb), lambda gi, si: (gi, 0, si),
@@ -725,30 +742,28 @@ def _flash_bwd_rule(residuals, grads, interpret=None):
     aff_spec = pl.BlockSpec((g, 8), lambda gi, si: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    dq, dk, dv, dqe, dke_t, dve, daff = pl.pallas_call(
+    dqkv, dqe, dke_t, dve, daff = pl.pallas_call(
         functools.partial(_flash_bwd_kernel, has_pos=has_pos, L=L,
                           jb_size=jb_size),
         grid=grid,
-        in_specs=[qk_spec, qk_spec, v_spec, cemb_spec, cemb_spec, pemb_spec,
+        in_specs=[qkv_spec, cemb_spec, cemb_spec, pemb_spec,
                   aff_spec, row_spec, row_spec, v_spec, v_spec,
                   v_spec, v_spec],
-        out_specs=(qk_spec, qk_spec, v_spec, cemb_spec, cemb_spec, pemb_spec,
+        out_specs=(qkv_spec, cemb_spec, cemb_spec, pemb_spec,
                    aff_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((g, c, L, S), q.dtype),
-            jax.ShapeDtypeStruct((g, c, L, S), k.dtype),
-            jax.ShapeDtypeStruct((g, gp, L, S), v.dtype),
+            jax.ShapeDtypeStruct((g, 2 * gp, L, S), qkv.dtype),
             jax.ShapeDtypeStruct((ce, L, L), _F32),
             jax.ShapeDtypeStruct((ce, L, L), _F32),
             jax.ShapeDtypeStruct((pe, L, L), _F32),
             jax.ShapeDtypeStruct((g, 8), _F32),
         ),
         interpret=interpret,
-    )(q, k, v, qemb, kemb_t, vemb, sim_affine, m, l, sv, sve, dsv, dsve)
+    )(qkv, qemb, kemb_t, vemb, sim_affine, m, l, sv, sve, dsv, dsve)
     if not has_pos:
         zc = jnp.zeros((0, L, L), _F32)
-        return dq, dk, dv, zc, zc, jnp.zeros((0, L, L), _F32), daff
-    return dq, dk, dv, dqe, dke_t, dve, daff
+        return dqkv, zc, zc, jnp.zeros((0, L, L), _F32), daff
+    return dqkv, dqe, dke_t, dve, daff
 
 
 flash_lanes_core.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -1070,26 +1085,35 @@ def _flash2_geom(S: int, c: int, gp: int, L: int):
 
 
 @jax.custom_vjp
-def flash2_lanes_core(q, k, v, qemb, kemb_t, vemb, sim_affine):
+def flash2_lanes_core(qkv, qemb, kemb_t, vemb, sim_affine):
     """Query+key streamed lanes attention for spans 96..256; same contract
-    as ``lanes_attn_core``."""
-    sv, sve, _, _ = _flash2_fwd(q, k, v, qemb, kemb_t, vemb, sim_affine)
+    as ``lanes_attn_core`` (fused qkv in, fused dqkv out).
+
+    The fused operand is passed to the kernel THREE times with different
+    BlockSpec views (q query-blocked rows [0:c]; k whole-key rows [c:gp];
+    v whole-key rows [gp:2gp]) — aliased reads of one buffer, so the XLA
+    boundary still materializes no slices."""
+    sv, sve, _, _ = _flash2_fwd(qkv, qemb, kemb_t, vemb, sim_affine)
     return sv, sve
 
 
-def _flash2_fwd(q, k, v, qemb, kemb_t, vemb, sim_affine, interpret=None):
+def _flash2_fwd(qkv, qemb, kemb_t, vemb, sim_affine, interpret=None):
     interpret = _interpret_default(interpret)
-    g, c, L, S = q.shape
-    gp = v.shape[1]
+    g, r2, L, S = qkv.shape
+    gp = r2 // 2
+    c = gp // 2
     has_pos = qemb.shape[0] > 0
     Sb, Ib, _ = _flash2_geom(S, c, gp, L)
     assert Sb >= 1, (S, g, c, gp, L)
     grid = (g, S // Sb, L // Ib)
+    # three views of the fused qkv: axis-1 block units c (q, k) / gp (v),
+    # block index 0 -> q rows, 1 (in c-units: rows [c:2c]=k; in gp-units:
+    # rows [gp:2gp]=v)
     q_spec = pl.BlockSpec((1, c, Ib, Sb), lambda gi, si, ib: (gi, 0, ib, si),
                           memory_space=pltpu.VMEM)
-    k_spec = pl.BlockSpec((1, c, L, Sb), lambda gi, si, ib: (gi, 0, 0, si),
+    k_spec = pl.BlockSpec((1, c, L, Sb), lambda gi, si, ib: (gi, 1, 0, si),
                           memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((1, gp, L, Sb), lambda gi, si, ib: (gi, 0, 0, si),
+    v_spec = pl.BlockSpec((1, gp, L, Sb), lambda gi, si, ib: (gi, 1, 0, si),
                           memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec((1, gp, Ib, Sb), lambda gi, si, ib: (gi, 0, ib, si),
                           memory_space=pltpu.VMEM)
@@ -1125,34 +1149,40 @@ def _flash2_fwd(q, k, v, qemb, kemb_t, vemb, sim_affine, interpret=None):
             jax.ShapeDtypeStruct((g, L, S), _F32),
         ),
         interpret=interpret,
-    )(q, k, v, qembb, kembtb, vembb, sim_affine)
+    )(qkv, qkv, qkv, qembb, kembtb, vembb, sim_affine)
     if not has_pos:
         sve = jnp.zeros_like(sv)
     return sv, sve, m, l
 
 
-def _flash2_fwd_rule(q, k, v, qemb, kemb_t, vemb, sim_affine):
-    sv, sve, m, l = _flash2_fwd(q, k, v, qemb, kemb_t, vemb, sim_affine)
-    return (sv, sve), (q, k, v, qemb, kemb_t, vemb, sim_affine, m, l, sv, sve)
+def _flash2_fwd_rule(qkv, qemb, kemb_t, vemb, sim_affine):
+    sv, sve, m, l = _flash2_fwd(qkv, qemb, kemb_t, vemb, sim_affine)
+    return (sv, sve), (qkv, qemb, kemb_t, vemb, sim_affine, m, l, sv, sve)
 
 
 def _flash2_bwd_rule(residuals, grads, interpret=None):
-    q, k, v, qemb, kemb_t, vemb, sim_affine, m, l, sv, sve = residuals
+    qkv, qemb, kemb_t, vemb, sim_affine, m, l, sv, sve = residuals
     dsv, dsve = grads
     interpret = _interpret_default(interpret)
-    g, c, L, S = q.shape
-    gp = v.shape[1]
+    g, r2, L, S = qkv.shape
+    gp = r2 // 2
+    c = gp // 2
     has_pos = qemb.shape[0] > 0
     Sb, Ib, jb_size = _flash2_geom(S, c, gp, L)
     assert Sb >= 1, (S, g, c, gp, L)
     nS, nI = S // Sb, L // Ib
     grid = (g, nS, nI)
 
+    # the same three aliased views of the fused qkv as the forward; the
+    # dq/dk/dv OUTPUTS stay separate buffers (one buffer cannot back
+    # multiple out_specs) and are concatenated into dqkv below — flash2
+    # only runs at the 512px geometries, where the kernels dwarf the
+    # one concat
     q_spec = pl.BlockSpec((1, c, Ib, Sb), lambda gi, si, ib: (gi, 0, ib, si),
                           memory_space=pltpu.VMEM)
-    k_spec = pl.BlockSpec((1, c, L, Sb), lambda gi, si, ib: (gi, 0, 0, si),
+    k_spec = pl.BlockSpec((1, c, L, Sb), lambda gi, si, ib: (gi, 1, 0, si),
                           memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((1, gp, L, Sb), lambda gi, si, ib: (gi, 0, 0, si),
+    v_spec = pl.BlockSpec((1, gp, L, Sb), lambda gi, si, ib: (gi, 1, 0, si),
                           memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec((1, gp, Ib, Sb), lambda gi, si, ib: (gi, 0, ib, si),
                           memory_space=pltpu.VMEM)
@@ -1182,6 +1212,15 @@ def _flash2_bwd_rule(residuals, grads, interpret=None):
                               memory_space=pltpu.VMEM)
     aff_spec = pl.BlockSpec((g, 8), lambda gi, si, ib: (0, 0),
                             memory_space=pltpu.VMEM)
+    # dedicated OUT specs: the dq/dk/dv buffers have a single axis-1 block,
+    # so their index maps are 0 there (the input views above point at
+    # block 1 of the fused qkv and must not be reused here)
+    dq_spec = pl.BlockSpec((1, c, Ib, Sb), lambda gi, si, ib: (gi, 0, ib, si),
+                           memory_space=pltpu.VMEM)
+    dk_spec = pl.BlockSpec((1, c, L, Sb), lambda gi, si, ib: (gi, 0, 0, si),
+                           memory_space=pltpu.VMEM)
+    dv_spec = pl.BlockSpec((1, gp, L, Sb), lambda gi, si, ib: (gi, 0, 0, si),
+                           memory_space=pltpu.VMEM)
 
     dq, dk, dv, dqep, dkep, dvep, daff = pl.pallas_call(
         functools.partial(_flash2_bwd_kernel, has_pos=has_pos, L=L,
@@ -1190,13 +1229,13 @@ def _flash2_bwd_rule(residuals, grads, interpret=None):
         in_specs=[q_spec, k_spec, v_spec, ctbl_spec, ctbl_spec, ptbl_spec,
                   aff_spec, row_spec, row_spec, o_spec, o_spec,
                   o_spec, o_spec],
-        out_specs=(q_spec, k_spec, v_spec, cpart_spec, cpart_spec, ppart_spec,
-                   aff_spec),
+        out_specs=(dq_spec, dk_spec, dv_spec, cpart_spec, cpart_spec,
+                   ppart_spec, aff_spec),
         out_shape=(
             # dq is written once per program -> input dtype directly; dk/dv
             # accumulate through their refs across the query-block sweep, so
             # they stay f32 in-kernel and cast after
-            jax.ShapeDtypeStruct((g, c, L, S), q.dtype),
+            jax.ShapeDtypeStruct((g, c, L, S), qkv.dtype),
             jax.ShapeDtypeStruct((g, c, L, S), _F32),
             jax.ShapeDtypeStruct((g, gp, L, S), _F32),
             jax.ShapeDtypeStruct((g, nS, nI, ce, L, Ib), _F32),
@@ -1205,13 +1244,15 @@ def _flash2_bwd_rule(residuals, grads, interpret=None):
             jax.ShapeDtypeStruct((g, 8), _F32),
         ),
         interpret=interpret,
-    )(q, k, v, qembb, kembtb, vembb, sim_affine, m, l, sv, sve, dsv, dsve)
-    dk = dk.astype(k.dtype)
-    dv = dv.astype(v.dtype)
+    )(qkv, qkv, qkv, qembb, kembtb, vembb, sim_affine, m, l, sv, sve,
+      dsv, dsve)
+    dqkv = jnp.concatenate(
+        [dq.astype(qkv.dtype), dk.astype(qkv.dtype), dv.astype(qkv.dtype)],
+        axis=1)
 
     if not has_pos:
         zc = jnp.zeros((0, L, L), _F32)
-        return dq, dk, dv, zc, zc, jnp.zeros((0, L, L), _F32), daff
+        return dqkv, zc, zc, jnp.zeros((0, L, L), _F32), daff
 
     def unblock(part, ch):
         # (g, nS, nI, ch, L_j, Ib) -> (ch, L_i, L_j)
@@ -1219,7 +1260,7 @@ def _flash2_bwd_rule(residuals, grads, interpret=None):
         t = jnp.transpose(t, (1, 0, 3, 2))           # (ch, nI, Ib, L_j)
         return t.reshape(ch, L, L)
 
-    return (dq, dk, dv, unblock(dqep, ce), unblock(dkep, ce),
+    return (dqkv, unblock(dqep, ce), unblock(dkep, ce),
             unblock(dvep, pe), daff)
 
 

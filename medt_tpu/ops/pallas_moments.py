@@ -79,9 +79,15 @@ def _interpret_default(interpret: Optional[bool]) -> bool:
     return interpret
 
 
-def _moments_kernel(q_ref, k_ref, rqt_ref, eqt_ref, rkt_ref, ekt_ref,
+def _moments_kernel(qk_ref, rqt_ref, eqt_ref, rkt_ref, ekt_ref,
                     out_ref, *, has_pos: bool, cdim: int):
     """grid = (g, S // Sb); out accumulates (g, 8) moment sums.
+
+    ``qk_ref`` is the FIRST HALF of the fused (g, 2gp, L, S) qkv tensor —
+    the BlockSpec blocks axis 1 in gp-units and always picks block 0, i.e.
+    rows [0:c]=q, [c:gp]=k; the v rows are never fetched. Sharing the
+    attention kernels' fused operand means the XLA boundary materializes
+    no q/k slices for the moments either.
 
     Row layout per group: [s1_qk, s2_qk, s1_qr, s2_qr, s1_kr, s2_kr, 0, 0]
     (first and second raw-moment sums; divide by n = S*L*L outside).
@@ -90,8 +96,8 @@ def _moments_kernel(q_ref, k_ref, rqt_ref, eqt_ref, rkt_ref, ekt_ref,
     c = cdim
     # per-channel (L, Sb) tiles; bf16 inputs upcast once in VMEM — exact,
     # matching an upcast outside the kernel bit-for-bit
-    q = [q_ref[0, ci].astype(_F32) for ci in range(c)]
-    k = [k_ref[0, ci].astype(_F32) for ci in range(c)]
+    q = [qk_ref[0, ci].astype(_F32) for ci in range(c)]
+    k = [qk_ref[0, c + ci].astype(_F32) for ci in range(c)]
 
     # qs/ks: (1, Sb) keepdims reductions (sublane axis collapses to 1)
     qs = [jnp.sum(q[ci], axis=0, keepdims=True) for ci in range(c)]
@@ -150,23 +156,28 @@ def _transpose_tables(r_q, e_q, r_k, e_k, L):
 
 
 @jax.custom_vjp
-def moment_sums_core(q, k, r_q, e_q, r_k, e_k):
+def moment_sums_core(qkv, r_q, e_q, r_k, e_k):
     """One-pass moment sums, (g, 8) (see _moments_kernel row layout).
 
-    q, k: (g, c, L, S); r_q/r_k: (c, L); e_q/e_k: (c, c, L). Pass
-    zero-size (0, L) / (0, 0, L) tables for the wopos (qk-only) variant.
+    qkv: the attention kernels' fused (g, 2gp, L, S) tensor (rows [0:c]=q,
+    [c:gp]=k, [gp:2gp]=v; only the q/k half is read). r_q/r_k: (c, L);
+    e_q/e_k: (c, c, L). Pass zero-size (0, L) / (0, 0, L) tables for the
+    wopos (qk-only) variant.
     """
-    return _sums_fwd(q, k, r_q, e_q, r_k, e_k)
+    return _sums_fwd(qkv, r_q, e_q, r_k, e_k)
 
 
-def _sums_fwd(q, k, r_q, e_q, r_k, e_k, interpret=None):
+def _sums_fwd(qkv, r_q, e_q, r_k, e_k, interpret=None):
     interpret = _interpret_default(interpret)
-    g, c, L, S = q.shape
+    g, r2, L, S = qkv.shape
+    gp = r2 // 2
+    c = gp // 2
     has_pos = r_q.shape[0] > 0
     Sb = _pick_sblock(S, c, L)
     assert Sb >= 1, (S, c, L)
     grid = (g, S // Sb)
-    qk_spec = pl.BlockSpec((1, c, L, Sb), lambda gi, si: (gi, 0, 0, si),
+    # axis 1 blocked in gp-units, always block 0: the q|k rows only
+    qk_spec = pl.BlockSpec((1, gp, L, Sb), lambda gi, si: (gi, 0, 0, si),
                            memory_space=pltpu.VMEM)
     rqt, eqt, rkt, ekt, _ = _transpose_tables(r_q, e_q, r_k, e_k, L)
     r_spec = pl.BlockSpec(rqt.shape, lambda gi, si: (0, 0),
@@ -178,30 +189,32 @@ def _sums_fwd(q, k, r_q, e_q, r_k, e_k, interpret=None):
     return pl.pallas_call(
         functools.partial(_moments_kernel, has_pos=has_pos, cdim=c),
         grid=grid,
-        in_specs=[qk_spec, qk_spec, r_spec, e_spec, r_spec, e_spec],
+        in_specs=[qk_spec, r_spec, e_spec, r_spec, e_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((g, 8), _F32),
         interpret=interpret,
-    )(q, k, rqt, eqt, rkt, ekt)
+    )(qkv, rqt, eqt, rkt, ekt)
 
 
-def _sums_fwd_rule(q, k, r_q, e_q, r_k, e_k):
-    return _sums_fwd(q, k, r_q, e_q, r_k, e_k), (q, k, r_q, e_q, r_k, e_k)
+def _sums_fwd_rule(qkv, r_q, e_q, r_k, e_k):
+    return _sums_fwd(qkv, r_q, e_q, r_k, e_k), (qkv, r_q, e_q, r_k, e_k)
 
 
-def _moments_bwd_kernel(q_ref, k_ref, rqt_ref, eqt_ref, rkt_ref, ekt_ref,
+def _moments_bwd_kernel(qk_ref, rqt_ref, eqt_ref, rkt_ref, ekt_ref,
                         ct_ref,
-                        dq_ref, dk_ref, drqt_ref, deqt_ref, drkt_ref,
+                        dqk_ref, drqt_ref, deqt_ref, drkt_ref,
                         dekt_ref, *, has_pos: bool, cdim: int):
-    """One-pass backward: dq/dk assembled per block, table grads accumulated
-    in resident constant-index blocks across the whole grid (the same
-    pattern as the attention backward's dqemb, pallas_axial_lanes.py).
-    Same 2-D layout discipline as the forward kernel."""
+    """One-pass backward: dq/dk assembled per block into ONE fused dqk
+    output (rows [0:c]=dq, [c:gp]=dk — the caller zero-pads the v rows),
+    table grads accumulated in resident constant-index blocks across the
+    whole grid (the same pattern as the attention backward's dqemb,
+    pallas_axial_lanes.py). Same 2-D layout discipline as the forward
+    kernel."""
     gi, si = pl.program_id(0), pl.program_id(1)
     ct = ct_ref[pl.ds(gi, 1), :][0]  # (8,) — the proven aff-row pattern
     c = cdim
-    q = [q_ref[0, ci].astype(_F32) for ci in range(c)]
-    k = [k_ref[0, ci].astype(_F32) for ci in range(c)]
+    q = [qk_ref[0, ci].astype(_F32) for ci in range(c)]
+    k = [qk_ref[0, c + ci].astype(_F32) for ci in range(c)]
     qs = [jnp.sum(q[ci], axis=0, keepdims=True) for ci in range(c)]  # (1,Sb)
     ks = [jnp.sum(k[ci], axis=0, keepdims=True) for ci in range(c)]
 
@@ -244,8 +257,8 @@ def _moments_bwd_kernel(q_ref, k_ref, rqt_ref, eqt_ref, rkt_ref, ekt_ref,
             dkc += ct[4] * rkt_ref[:, ci:ci + 1] + 2.0 * ct[5] * acc_ek
         dq_rows.append(dqc)
         dk_rows.append(dkc)
-    dq_ref[0] = jnp.stack(dq_rows).astype(dq_ref.dtype)
-    dk_ref[0] = jnp.stack(dk_rows).astype(dk_ref.dtype)
+    dqk_ref[0, :c] = jnp.stack(dq_rows).astype(dqk_ref.dtype)
+    dqk_ref[0, c:] = jnp.stack(dk_rows).astype(dqk_ref.dtype)
 
     if has_pos:
         # table grads in the transposed (L, c)/(L, c*c) layout: columns are
@@ -279,11 +292,13 @@ def _moments_bwd_kernel(q_ref, k_ref, rqt_ref, eqt_ref, rkt_ref, ekt_ref,
             dekt_ref[...] = dekt_ref[...] + dekt
 
 
-def _sums_bwd_kernel_call(q, k, r_q, e_q, r_k, e_k, ct, Sb, interpret):
-    g, c, L, S = q.shape
+def _sums_bwd_kernel_call(qkv, r_q, e_q, r_k, e_k, ct, Sb, interpret):
+    g, r2, L, S = qkv.shape
+    gp = r2 // 2
+    c = gp // 2
     has_pos = r_q.shape[0] > 0
     grid = (g, S // Sb)
-    qk_spec = pl.BlockSpec((1, c, L, Sb), lambda gi, si: (gi, 0, 0, si),
+    qk_spec = pl.BlockSpec((1, gp, L, Sb), lambda gi, si: (gi, 0, 0, si),
                            memory_space=pltpu.VMEM)
     rqt, eqt, rkt, ekt, _ = _transpose_tables(r_q, e_q, r_k, e_k, L)
     r_spec = pl.BlockSpec(rqt.shape, lambda gi, si: (0, 0),
@@ -292,38 +307,43 @@ def _sums_bwd_kernel_call(q, k, r_q, e_q, r_k, e_k, ct, Sb, interpret):
                           memory_space=pltpu.VMEM)
     ct_spec = pl.BlockSpec((g, 8), lambda gi, si: (0, 0),
                            memory_space=pltpu.VMEM)
-    dq, dk, drqt, deqt, drkt, dekt = pl.pallas_call(
+    dqk, drqt, deqt, drkt, dekt = pl.pallas_call(
         functools.partial(_moments_bwd_kernel, has_pos=has_pos, cdim=c),
         grid=grid,
-        in_specs=[qk_spec, qk_spec, r_spec, e_spec, r_spec, e_spec, ct_spec],
-        out_specs=(qk_spec, qk_spec, r_spec, e_spec, r_spec, e_spec),
+        in_specs=[qk_spec, r_spec, e_spec, r_spec, e_spec, ct_spec],
+        out_specs=(qk_spec, r_spec, e_spec, r_spec, e_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((g, c, L, S), q.dtype),
-            jax.ShapeDtypeStruct((g, c, L, S), k.dtype),
+            jax.ShapeDtypeStruct((g, gp, L, S), qkv.dtype),
             jax.ShapeDtypeStruct(rqt.shape, _F32),
             jax.ShapeDtypeStruct(eqt.shape, _F32),
             jax.ShapeDtypeStruct(rkt.shape, _F32),
             jax.ShapeDtypeStruct(ekt.shape, _F32),
         ),
         interpret=interpret,
-    )(q, k, rqt, eqt, rkt, ekt, ct)
+    )(qkv, rqt, eqt, rkt, ekt, ct)
+    # cotangent must cover the full fused tensor: zero-pad the (never-read)
+    # v rows. The pad fuses into the downstream dqkv addition with the
+    # attention core's cotangent — no standalone materialization.
+    dqkv = jnp.concatenate(
+        [dqk, jnp.zeros((g, gp, L, S), qkv.dtype)], axis=1)
     if not has_pos:
         zr, ze = jnp.zeros_like(r_q), jnp.zeros_like(e_q)
-        return dq, dk, zr, ze, jnp.zeros_like(r_k), jnp.zeros_like(e_k)
+        return dqkv, zr, ze, jnp.zeros_like(r_k), jnp.zeros_like(e_k)
     # un-transpose the table grads back to the caller's (c, L)/(c, c, L)
     dr_q = jnp.transpose(drqt)
     dr_k = jnp.transpose(drkt)
     de_q = jnp.transpose(deqt).reshape(c, c, L)
     de_k = jnp.transpose(dekt).reshape(c, c, L)
-    return dq, dk, dr_q, de_q, dr_k, de_k
+    return dqkv, dr_q, de_q, dr_k, de_k
 
 
 def _sums_bwd_rule(residuals, ct, interpret=None):
-    q, k, r_q, e_q, r_k, e_k = residuals
-    g, c, L, S = q.shape
+    qkv, r_q, e_q, r_k, e_k = residuals
+    g, r2, L, S = qkv.shape
+    c = r2 // 4
     Sb = _pick_sblock(S, c, L, bwd=True)
     if Sb >= 128:
-        return _sums_bwd_kernel_call(q, k, r_q, e_q, r_k, e_k, ct, Sb,
+        return _sums_bwd_kernel_call(qkv, r_q, e_q, r_k, e_k, ct, Sb,
                                      _interpret_default(interpret))
     return _sums_bwd_xla(residuals, ct)
 
@@ -331,9 +351,13 @@ def _sums_bwd_rule(residuals, ct, interpret=None):
 def _sums_bwd_xla(residuals, ct):
     """XLA fallback backward: same einsum count autodiff would produce
     (see module docstring); ct is (g, 8)."""
-    q, k, r_q, e_q, r_k, e_k = residuals
-    in_dt = (q.dtype, k.dtype)
-    q, k = q.astype(_F32), k.astype(_F32)  # einsums need f32 accumulation
+    qkv, r_q, e_q, r_k, e_k = residuals
+    g, r2, L, S = qkv.shape
+    gp = r2 // 2
+    c = gp // 2
+    in_dt = (qkv.dtype, qkv.dtype)
+    q = qkv[:, :c].astype(_F32)  # einsums need f32 accumulation
+    k = qkv[:, c:gp].astype(_F32)
     has_pos = r_q.shape[0] > 0
     qs = jnp.sum(q, axis=2)  # (g, c, S)
     ks = jnp.sum(k, axis=2)
@@ -347,10 +371,15 @@ def _sums_bwd_xla(residuals, ct):
     dk = c0 * qs[:, :, None, :] + 2.0 * c1 * jnp.einsum(
         "gcds,gdls->gcls", qq, k)
 
+    def fuse(dq, dk):
+        return jnp.concatenate(
+            [dq.astype(in_dt[0]), dk.astype(in_dt[1]),
+             jnp.zeros((g, gp, L, S), in_dt[0])], axis=1)
+
     if not has_pos:
         zr = jnp.zeros_like(r_q)
         ze = jnp.zeros_like(e_q)
-        return (dq.astype(in_dt[0]), dk.astype(in_dt[1]), zr, ze,
+        return (fuse(dq, dk), zr, ze,
                 jnp.zeros_like(r_k), jnp.zeros_like(e_k))
 
     c2 = ct[:, 2][:, None, None, None]  # s1_qr
@@ -365,8 +394,7 @@ def _sums_bwd_xla(residuals, ct):
     de_q = jnp.einsum("g,gcls,gdls->cdl", c3, q, q)
     dr_k = jnp.einsum("g,gcls->cl", ct[:, 4], k)
     de_k = jnp.einsum("g,gcls,gdls->cdl", c5, k, k)
-    return (dq.astype(in_dt[0]), dk.astype(in_dt[1]),
-            dr_q, de_q, dr_k, de_k)
+    return (fuse(dq, dk), dr_q, de_q, dr_k, de_k)
 
 
 moment_sums_core.defvjp(_sums_fwd_rule, _sums_bwd_rule)
@@ -383,40 +411,41 @@ def moments_kernel_supported(span: int, gp: int, stripes: int) -> bool:
             and _pick_sblock(stripes, c, span) >= 128)
 
 
-def logit_moments_lanes_fused(q, k, qemb, kemb, core=None):
+def logit_moments_lanes_fused(qkv, qemb, kemb, core=None):
     """Drop-in for pallas_axial_train.logit_moments_lanes: one kernel pass.
 
-    q, k: (g, c, L, S); qemb/kemb: (c, L, L) gate-folded tables in the
+    qkv: the attention kernels' fused (g, 2gp, L, S) tensor (only the q/k
+    rows are read); qemb/kemb: (c, L, L) gate-folded tables in the
     all_emb coordinates (kr reads kemb as [c, j, i]).
     Returns (mean, var_biased, count) with mean/var shaped (3, g).
 
     ``core`` overrides the sums core — under an active mesh the caller
     passes the shard_map island (parallel/kernel_sharding.py
     shard_moments_core), which reduces per-device partials and combines
-    them outside; q/k then carry their GLOBAL shapes here, so n is right.
+    them outside; qkv then carries its GLOBAL shape here, so n is right.
     """
-    g, c, L, S = q.shape
+    g, r2, L, S = qkv.shape
     n = S * L * L
     core = core or moment_sums_core
     r_q = jnp.sum(qemb, axis=2)                       # (c, i)
     e_q = jnp.einsum("cij,dij->cdi", qemb, qemb)      # (c, c, i)
     r_k = jnp.sum(kemb, axis=2)                       # (c, j)
     e_k = jnp.einsum("cji,dji->cdj", kemb, kemb)      # (c, c, j)
-    sums = core(q, k, r_q, e_q, r_k, e_k)
+    sums = core(qkv, r_q, e_q, r_k, e_k)
     mean = jnp.stack([sums[:, 0], sums[:, 2], sums[:, 4]]) / n
     msq = jnp.stack([sums[:, 1], sums[:, 3], sums[:, 5]]) / n
     var = jnp.maximum(msq - jnp.square(mean), 0.0)
     return mean, var, n
 
 
-def qk_moments_lanes_fused(q, k, core=None):
+def qk_moments_lanes_fused(qkv, core=None):
     """Drop-in for pallas_axial_train.qk_moments_lanes (wopos: qk only)."""
-    g, c, L, S = q.shape
+    g, r2, L, S = qkv.shape
     n = S * L * L
     core = core or moment_sums_core
     zr = jnp.zeros((0, L), _F32)
     ze = jnp.zeros((0, 0, L), _F32)
-    sums = core(q, k, zr, ze, zr, ze)
+    sums = core(qkv, zr, ze, zr, ze)
     m1 = sums[:, 0] / n
     m2 = sums[:, 1] / n
     var = jnp.maximum(m2 - jnp.square(m1), 0.0)

@@ -100,10 +100,14 @@ _AFF = P("model", None)
 
 
 def shard_lanes_core(core, mesh: Mesh):
-    """shard_map a lanes-family core (lanes/flash/flash2) over ``mesh``."""
+    """shard_map a lanes-family core (lanes/flash/flash2) over ``mesh``.
+
+    The cores take the FUSED (g, 2gp, L, S) qkv tensor (rows q|k|v) —
+    one sharded operand whose g axis maps to ``model`` and S axis to
+    ``(data, seq)``, exactly like the former separate q/k/v."""
     return jax.shard_map(
         core, mesh=mesh,
-        in_specs=(_LANES_QKV, _LANES_QKV, _LANES_QKV,
+        in_specs=(_LANES_QKV,
                   _TABLE, _TABLE, _TABLE, _AFF),
         out_specs=(_LANES_QKV, _LANES_QKV),
         # the cores carry custom VJPs, which the vma checker cannot trace
@@ -129,28 +133,28 @@ def shard_moments_core(core, mesh: Mesh):
     """shard_map the one-pass moments core (pallas_moments) over ``mesh``.
 
     The moment sums are linear accumulations over the stripe axis, so each
-    device reduces its LOCAL ``(g/tp, c, L, S/(dp*sp))`` block to partial
-    sums and the combination happens OUTSIDE the island: the island emits a
+    device reduces its LOCAL ``(g/tp, 2gp, L, S/(dp*sp))`` fused-qkv block
+    to partial sums and the combination happens OUTSIDE the island: the island emits a
     ``(dp*sp, g, 8)`` array with each (data, seq) shard's partials in its
     own slot, and the caller sums axis 0 as a plain (GSPMD-partitioned,
     trivially differentiable) XLA reduction. No collective runs inside the
     island, and the transpose path is the same slice-back + custom-VJP
     composition as the attention islands (verified sharded-vs-unsharded in
     tests/test_kernel_sharding.py)."""
-    def local(q, k, r_q, e_q, r_k, e_k):
-        return core(q, k, r_q, e_q, r_k, e_k)[None]  # (1, g_local, 8)
+    def local(qkv, r_q, e_q, r_k, e_k):
+        return core(qkv, r_q, e_q, r_k, e_k)[None]  # (1, g_local, 8)
 
     f = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(_LANES_QKV, _LANES_QKV,
+        in_specs=(_LANES_QKV,
                   _TABLE, _TABLE, _TABLE, _TABLE),
         out_specs=P(("data", "seq"), "model", None),
         check_vma=False,
     )
 
-    def call(q, k, r_q, e_q, r_k, e_k):
+    def call(qkv, r_q, e_q, r_k, e_k):
         import jax.numpy as jnp
-        return jnp.sum(f(q, k, r_q, e_q, r_k, e_k), axis=0)  # (g, 8)
+        return jnp.sum(f(qkv, r_q, e_q, r_k, e_k), axis=0)  # (g, 8)
 
     return call
 

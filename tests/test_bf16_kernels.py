@@ -25,81 +25,76 @@ def _mk(rng, *shape):
     return jnp.asarray(rng.normal(size=shape).astype(np.float32))
 
 
-def _attn_case(core, g, c, gp, L, S, seed):
+def _attn_case(core, g, gp, L, S, seed):
     rng = np.random.default_rng(seed)
-    q, k = _mk(rng, g, c, L, S), _mk(rng, g, c, L, S)
-    v = _mk(rng, g, gp, L, S)
+    c = gp // 2
+    qkv = _mk(rng, g, 2 * gp, L, S)  # fused rows q|k|v (the core contract)
     qemb, kemb_t = _mk(rng, c, L, L), _mk(rng, c, L, L)
     vemb = _mk(rng, gp, L, L)
     aff = pack_sim_affine(
         g, jnp.abs(_mk(rng, 3, g)) * 0.2, _mk(rng, 3, g) * 0.1, "full")
     wv, we = _mk(rng, g, gp, L, S), _mk(rng, g, gp, L, S)
 
-    def loss(q, k, v):
-        sv, sve = core(q, k, v, qemb, kemb_t, vemb, aff)
+    def loss(qkv):
+        sv, sve = core(qkv, qemb, kemb_t, vemb, aff)
         return jnp.sum(sv.astype(jnp.float32) * wv
                        + sve.astype(jnp.float32) * we)
 
-    qb, kb, vb = q.astype(BF16), k.astype(BF16), v.astype(BF16)
+    qkvb = qkv.astype(BF16)
     # forward: the in-kernel upcast is exact, so bf16-in matches the
     # upcast-outside program to FMA-contraction noise (two separately
     # compiled programs may fuse multiplies differently)
-    out_b = core(qb, kb, vb, qemb, kemb_t, vemb, aff)
-    out_f = core(qb.astype(jnp.float32), kb.astype(jnp.float32),
-                 vb.astype(jnp.float32), qemb, kemb_t, vemb, aff)
+    out_b = core(qkvb, qemb, kemb_t, vemb, aff)
+    out_f = core(qkvb.astype(jnp.float32), qemb, kemb_t, vemb, aff)
     for a, b in zip(out_b, out_f):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6)
     # grads: bf16 outputs within one bf16 rounding (2^-8 relative) of the
     # f32 grads
-    g_b = jax.grad(loss, argnums=(0, 1, 2))(qb, kb, vb)
-    g_f = jax.grad(loss, argnums=(0, 1, 2))(
-        qb.astype(jnp.float32), kb.astype(jnp.float32),
-        vb.astype(jnp.float32))
-    for a, b in zip(g_b, g_f):
-        assert a.dtype == BF16
-        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b),
-                                   rtol=1e-2, atol=1e-6)
+    g_b = jax.grad(loss)(qkvb)
+    g_f = jax.grad(loss)(qkvb.astype(jnp.float32))
+    assert g_b.dtype == BF16
+    np.testing.assert_allclose(np.asarray(g_b, np.float32), np.asarray(g_f),
+                               rtol=1e-2, atol=1e-6)
 
 
 def test_lanes_core_bf16_exact():
-    _attn_case(lanes_attn_core, g=2, c=2, gp=4, L=8, S=256, seed=0)
+    _attn_case(lanes_attn_core, g=2, gp=4, L=8, S=256, seed=0)
 
 
 def test_flash_core_bf16_exact():
-    _attn_case(flash_lanes_core, g=2, c=2, gp=4, L=32, S=256, seed=1)
+    _attn_case(flash_lanes_core, g=2, gp=4, L=32, S=256, seed=1)
 
 
 def test_flash2_core_bf16_exact():
-    _attn_case(flash2_lanes_core, g=1, c=2, gp=2, L=128, S=128, seed=2)
+    _attn_case(flash2_lanes_core, g=1, gp=4, L=128, S=128, seed=2)
 
 
 def test_moments_bf16_exact():
     rng = np.random.default_rng(3)
-    g, c, L, S = 2, 2, 8, 256
-    q, k = _mk(rng, g, c, L, S), _mk(rng, g, c, L, S)
+    g, gp, L, S = 2, 4, 8, 256
+    c = gp // 2
+    qkv = _mk(rng, g, 2 * gp, L, S)
     qemb, kemb = _mk(rng, c, L, L), _mk(rng, c, L, L)
     wm, wv = _mk(rng, 3, g), _mk(rng, 3, g)
-    qb, kb = q.astype(BF16), k.astype(BF16)
+    qkvb = qkv.astype(BF16)
 
-    def loss(q, k):
-        m, v, _ = pm.logit_moments_lanes_fused(q, k, qemb, kemb)
+    def loss(qkv):
+        m, v, _ = pm.logit_moments_lanes_fused(qkv, qemb, kemb)
         return jnp.sum(m * wm) + jnp.sum(v * wv)
 
-    m_b = pm.logit_moments_lanes_fused(qb, kb, qemb, kemb)
+    m_b = pm.logit_moments_lanes_fused(qkvb, qemb, kemb)
     m_f = pm.logit_moments_lanes_fused(
-        qb.astype(jnp.float32), kb.astype(jnp.float32), qemb, kemb)
+        qkvb.astype(jnp.float32), qemb, kemb)
     np.testing.assert_allclose(np.asarray(m_b[0]), np.asarray(m_f[0]),
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(m_b[1]), np.asarray(m_f[1]),
                                rtol=1e-6, atol=1e-6)
-    g_b = jax.grad(loss, argnums=(0, 1))(qb, kb)
-    g_f = jax.grad(loss, argnums=(0, 1))(
-        qb.astype(jnp.float32), kb.astype(jnp.float32))
-    for a, b in zip(g_b, g_f):
-        assert a.dtype == BF16
-        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b),
-                                   rtol=1e-2, atol=1e-6)
+    g_b = jax.grad(loss)(qkvb)
+    g_f = jax.grad(loss)(qkvb.astype(jnp.float32))
+    assert g_b.dtype == BF16
+    np.testing.assert_allclose(np.asarray(g_b, np.float32), np.asarray(g_f),
+                               rtol=1e-2, atol=1e-6)
 
 
 def test_bf16_train_step_routes_and_runs():

@@ -293,12 +293,13 @@ def test_flash2_core_span256_matches_xla(has_pos):
 
     def f2_fn(q, k, v, qe=None, ke=None, ve=None):
         t = lambda x: jnp.transpose(x, (1, 2, 3, 0))
+        qkv = jnp.concatenate([t(q), t(k), t(v)], axis=1)  # fused rows
         if has_pos:
-            sv, sve = flash2_lanes_core(t(q), t(k), t(v), qe,
+            sv, sve = flash2_lanes_core(qkv, qe,
                                         jnp.swapaxes(ke, 1, 2), ve, aff)
         else:
             e = jnp.zeros((0, L, L), jnp.float32)
-            sv, sve = flash2_lanes_core(t(q), t(k), t(v), e, e, e, aff)
+            sv, sve = flash2_lanes_core(qkv, e, e, e, aff)
         u = lambda x: jnp.transpose(x, (3, 0, 1, 2))
         return u(sv), u(sve)
 
