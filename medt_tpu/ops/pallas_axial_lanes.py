@@ -458,6 +458,9 @@ def _flash_fwd_kernel(qkv_ref, qemb_ref, kembt_ref, vemb_ref,
     q, k, v = _split_qkv(qkv_ref)
     c, gp, Sb = q.shape[0], v.shape[0], q.shape[-1]
     Lq = q.shape[1]
+    # hoist the loop-invariant q sublane broadcasts (see _flash_bwd_kernel)
+    qb = [jnp.broadcast_to(q[ci][:, None, :], (Lq, _JB, Sb))
+          for ci in range(c)]
     neg = jnp.full((Lq, 1, Sb), -1e30, _F32)
     m = neg
     l = jnp.zeros((Lq, 1, Sb), _F32)
@@ -466,16 +469,16 @@ def _flash_fwd_kernel(qkv_ref, qemb_ref, kembt_ref, vemb_ref,
     for jb in range(L // _JB):
         j0 = jb * _JB
         # logits block (L, _JB, Sb)
-        lg = q[0][:, None, :] * k[0][j0:j0 + _JB, :][None]
+        lg = qb[0] * k[0][j0:j0 + _JB, :][None]
         for ci in range(1, c):
-            lg += q[ci][:, None, :] * k[ci][j0:j0 + _JB, :][None]
+            lg += qb[ci] * k[ci][j0:j0 + _JB, :][None]
         lg = lg * aff[0] + aff[1]
         if has_pos:
             qemb, kemb_t = qemb_ref[...], kembt_ref[...]
-            qr = q[0][:, None, :] * qemb[0][:, j0:j0 + _JB][:, :, None]
+            qr = qb[0] * qemb[0][:, j0:j0 + _JB][:, :, None]
             kr = k[0][j0:j0 + _JB, :][None] * kemb_t[0][:, j0:j0 + _JB][:, :, None]
             for ci in range(1, c):
-                qr += q[ci][:, None, :] * qemb[ci][:, j0:j0 + _JB][:, :, None]
+                qr += qb[ci] * qemb[ci][:, j0:j0 + _JB][:, :, None]
                 kr += (k[ci][j0:j0 + _JB, :][None]
                        * kemb_t[ci][:, j0:j0 + _JB][:, :, None])
             lg = lg + (qr * aff[2] + aff[3]) + (kr * aff[4] + aff[5])
@@ -512,8 +515,6 @@ def _flash_bwd_kernel(qkv_ref, qemb_ref, kembt_ref, vemb_ref,
     aff = aff_ref[pl.ds(gi, 1), :][0]
     q, k, v = _split_qkv(qkv_ref)
     c, gp, Sb = q.shape[0], v.shape[0], q.shape[-1]
-    m = m_ref[...][0][:, None, :]
-    inv_l = (1.0 / l_ref[...][0])[:, None, :]
     dsv, dsve = dsv_ref[...][0], dsve_ref[...][0]
     sv, sve = sv_ref[...][0], sve_ref[...][0]
 
@@ -521,7 +522,20 @@ def _flash_bwd_kernel(qkv_ref, qemb_ref, kembt_ref, vemb_ref,
     delta = jnp.sum(dsv * sv, axis=0)
     if has_pos:
         delta = delta + jnp.sum(dsve * sve, axis=0)
-    delta = delta[:, None, :]  # (L, 1, Sb)
+
+    # Hoist every loop-invariant sublane broadcast out of the unrolled key
+    # loop: (L, 1, Sb) operands broadcast against (L, _JB, Sb) tiles pay a
+    # per-use sublane-broadcast op, and the per-(i, s) softmax state plus
+    # the q/dsv/dsve rows are reused by EVERY key block. Materializing the
+    # (L, _JB, Sb) form once turns ~(4 + c + 2 gp) broadcasts per block
+    # into plain aligned elementwise reads.
+    bcast = lambda t: jnp.broadcast_to(t[:, None, :], (t.shape[0], _JB, Sb))
+    m = bcast(m_ref[...][0])
+    inv_l = bcast(1.0 / l_ref[...][0])
+    delta = bcast(delta)
+    qb = [bcast(q[ci]) for ci in range(c)]
+    dsvb = [bcast(dsv[p]) for p in range(gp)]
+    dsveb = [bcast(dsve[p]) for p in range(gp)] if has_pos else None
 
     dq_acc = [jnp.zeros((L, Sb), _F32) for _ in range(c)]
     d_qk_sum = jnp.zeros((), _F32)
@@ -532,27 +546,27 @@ def _flash_bwd_kernel(qkv_ref, qemb_ref, kembt_ref, vemb_ref,
         qemb, kemb_t, vemb = qemb_ref[...], kembt_ref[...], vemb_ref[...]
     for jb in range(L // _JB):
         j0 = jb * _JB
-        qk = q[0][:, None, :] * k[0][j0:j0 + _JB, :][None]
+        qk = qb[0] * k[0][j0:j0 + _JB, :][None]
         for ci in range(1, c):
-            qk += q[ci][:, None, :] * k[ci][j0:j0 + _JB, :][None]
+            qk += qb[ci] * k[ci][j0:j0 + _JB, :][None]
         lg = qk * aff[0] + aff[1]
         if has_pos:
-            qr = q[0][:, None, :] * qemb[0][:, j0:j0 + _JB][:, :, None]
+            qr = qb[0] * qemb[0][:, j0:j0 + _JB][:, :, None]
             kr = k[0][j0:j0 + _JB, :][None] * kemb_t[0][:, j0:j0 + _JB][:, :, None]
             for ci in range(1, c):
-                qr += q[ci][:, None, :] * qemb[ci][:, j0:j0 + _JB][:, :, None]
+                qr += qb[ci] * qemb[ci][:, j0:j0 + _JB][:, :, None]
                 kr += (k[ci][j0:j0 + _JB, :][None]
                        * kemb_t[ci][:, j0:j0 + _JB][:, :, None])
             lg = lg + (qr * aff[2] + aff[3]) + (kr * aff[4] + aff[5])
         sim = jnp.exp(lg - m) * inv_l  # (L, _JB, Sb)
 
         # dsim = sum_p dsv[p,i,s] v[p,j,s] (+ sum_p dsve[p,i,s] vemb[p,i,j])
-        dsim = dsv[0][:, None, :] * v[0][j0:j0 + _JB, :][None]
+        dsim = dsvb[0] * v[0][j0:j0 + _JB, :][None]
         for p in range(1, gp):
-            dsim += dsv[p][:, None, :] * v[p][j0:j0 + _JB, :][None]
+            dsim += dsvb[p] * v[p][j0:j0 + _JB, :][None]
         if has_pos:
             for p in range(gp):
-                dsim += dsve[p][:, None, :] * vemb[p][:, j0:j0 + _JB][:, :, None]
+                dsim += dsveb[p] * vemb[p][:, j0:j0 + _JB][:, :, None]
 
         dlog = sim * (dsim - delta)
         db += jnp.sum(dlog)
@@ -566,17 +580,17 @@ def _flash_bwd_kernel(qkv_ref, qemb_ref, kembt_ref, vemb_ref,
 
         # dv[p, j, s] = sum_i dsv[p,i,s] sim[i,j,s]  (write this j-slice)
         dqkv_ref[0, gp:, j0:j0 + _JB, :] = jnp.stack(
-            [jnp.sum(dsv[p][:, None, :] * sim, axis=0)
+            [jnp.sum(dsvb[p] * sim, axis=0)
              for p in range(gp)]).astype(dqkv_ref.dtype)
         # dk[c, j, s] = sum_i d_qk q[c,i,s] (+ sum_i d_kr kemb_t[c,i,j])
         if has_pos:
             dqkv_ref[0, c:gp, j0:j0 + _JB, :] = jnp.stack(
-                [jnp.sum(d_qk * q[ci][:, None, :], axis=0)
+                [jnp.sum(d_qk * qb[ci], axis=0)
                  + jnp.sum(d_kr * kemb_t[ci][:, j0:j0 + _JB][:, :, None], axis=0)
                  for ci in range(c)]).astype(dqkv_ref.dtype)
         else:
             dqkv_ref[0, c:gp, j0:j0 + _JB, :] = jnp.stack(
-                [jnp.sum(d_qk * q[ci][:, None, :], axis=0)
+                [jnp.sum(d_qk * qb[ci], axis=0)
                  for ci in range(c)]).astype(dqkv_ref.dtype)
         # dq accumulation over j-blocks
         for ci in range(c):
@@ -587,11 +601,11 @@ def _flash_bwd_kernel(qkv_ref, qemb_ref, kembt_ref, vemb_ref,
 
         if has_pos:
             # table grads for this j-slice, accumulated over the grid
-            dqe = jnp.stack([jnp.sum(d_qr * q[ci][:, None, :], axis=2)
+            dqe = jnp.stack([jnp.sum(d_qr * qb[ci], axis=2)
                              for ci in range(c)])
             dke = jnp.stack([jnp.sum(d_kr * k[ci][j0:j0 + _JB, :][None],
                                      axis=2) for ci in range(c)])
-            dve = jnp.stack([jnp.sum(sim * dsve[p][:, None, :], axis=2)
+            dve = jnp.stack([jnp.sum(sim * dsveb[p], axis=2)
                              for p in range(gp)])
             first = jnp.logical_and(gi == 0, si == 0)
 

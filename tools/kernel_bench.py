@@ -81,12 +81,16 @@ def bench_geometry(family, span, g, gp, S, has_pos=True,
     core, layout = _core_of(family)
     c = max(gp // 2, 1)
     L = span
-    args = _mk_args(g, c, gp, L, S, has_pos, dtype)
+    q, k, v, qe, ke, ve, aff = _mk_args(g, c, gp, L, S, has_pos, dtype)
     if layout == "stripe":  # (S, g, c, L) layout
-        q, k, v, qe, ke, ve, aff = args
         args = (jnp.transpose(q, (3, 0, 1, 2)), jnp.transpose(k, (3, 0, 1, 2)),
                 jnp.transpose(v, (3, 0, 1, 2)), qe, jnp.swapaxes(ke, 1, 2),
                 ve, aff)
+    else:
+        # lanes-family cores take the projection's own fused qkv
+        # (g, 2gp, L, S): rows [0:c]=q, [c:gp]=k, [gp:2gp]=v
+        qkv = jnp.concatenate([q, k, v], axis=1)
+        args = (qkv, qe, jnp.swapaxes(ke, 1, 2), ve, aff)
 
     fwd = jax.jit(lambda *a: core(*a))
 
